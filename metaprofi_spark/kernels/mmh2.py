@@ -1,0 +1,91 @@
+"""MurmurHash2_x64_64 (MurmurHash64A), multi-seed, vectorized in numpy.
+
+Reimplemented from the public algorithm (Austin Appleby's smhasher
+MurmurHash2.cpp, public domain) — the same function the reference uses
+(/root/reference/metaprofi/lib/bloomfilter_cython.pyx:488-597), so bit
+positions are parity-compatible: seed s yields
+    h = seed ^ (m * len)
+    per 8-byte little-endian block: k*=m; k^=k>>47; k*=m; h^=k; h*=m
+    tail (1..7 bytes, little-endian zero-extended): h^=tail; h*=m
+    finalize: h^=h>>47; h*=m; h^=h>>47
+
+The vectorized form hashes a whole (n_windows, length) byte matrix for
+all seeds in one pass: the block mix is computed once per window and
+XOR-folded into every seed lane, exactly like the reference's inner
+seed loop (pyx:519-531).  All arithmetic is np.uint64 (C wraparound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = np.uint64(0xC6A4A7935BD1E995)
+_R = np.uint64(47)
+_MASK = (1 << 64) - 1
+
+
+def mmh2_64_windows(windows: np.ndarray, seeds: np.ndarray | list[int]) -> np.ndarray:
+    """Hash each row of a (n, length) uint8 matrix with every seed.
+
+    Returns a (n, len(seeds)) uint64 matrix of hash values.
+    """
+    if windows.ndim != 2:
+        raise ValueError("windows must be 2-D (n, length)")
+    windows = np.ascontiguousarray(windows, dtype=np.uint8)
+    n, length = windows.shape
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    nseeds = len(seeds)
+    nblocks = length // 8
+    tail_size = length & 7
+
+    with np.errstate(over="ignore"):
+        # init: h_s = seed ^ (m * length)
+        init = seeds ^ (_M * np.uint64(length))
+        h = np.broadcast_to(init, (n, nseeds)).copy()  # (n, nseeds)
+
+        if nblocks:
+            # little-endian uint64 view of the leading 8-byte blocks
+            body = np.ascontiguousarray(windows[:, : nblocks * 8])
+            k = body.view("<u8").reshape(n, nblocks).copy()
+            k *= _M
+            k ^= k >> _R
+            k *= _M
+            for b in range(nblocks):
+                kb = k[:, b : b + 1]  # (n, 1) broadcasts over seed lanes
+                h ^= kb
+                h *= _M
+
+        if tail_size:
+            tail = windows[:, nblocks * 8 :].astype(np.uint64)
+            kt = np.zeros(n, dtype=np.uint64)
+            for j in range(tail_size):
+                kt |= tail[:, j] << np.uint64(8 * j)
+            h ^= kt[:, None]
+            h *= _M
+
+        h ^= h >> _R
+        h *= _M
+        h ^= h >> _R
+    return h
+
+
+def mmh2_64_scalar(data: bytes, seed: int = 0) -> int:
+    """Slow, obviously-correct scalar implementation (test oracle)."""
+    m = 0xC6A4A7935BD1E995
+    h = seed ^ ((m * len(data)) & _MASK)
+    nblocks = len(data) // 8
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8 : (i + 1) * 8], "little")
+        k = (k * m) & _MASK
+        k ^= k >> 47
+        k = (k * m) & _MASK
+        h ^= k
+        h = (h * m) & _MASK
+    tail = data[nblocks * 8 :]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _MASK
+    h ^= h >> 47
+    h = (h * m) & _MASK
+    h ^= h >> 47
+    return h

