@@ -1,0 +1,161 @@
+"""Bit-sliced Bloom index — the A3 transpose of SURVEY.md §2.4.
+
+The reference materializes slice r (one bit per sample at position r) by
+unpacking matrix row-chunks in shared memory and writing zstd-compressed
+slices to a 1-D Zarr dataset (/root/reference/metaprofi/lib/
+build_index_zarr.py:35-214, :433-484).  Here the transpose is a single
+explicit shuffle keyed by (chunk_id, sample_bucket):
+
+    bf_matrix(sample_idx, chunk_id, bf)
+      -> groupBy(chunk_id, sample_bucket)        # the ONE shuffle
+      -> applyInPandas(transpose_pack)           # numpy unpack/T/pack
+      -> index(slice_id, sample_bucket, slice_bucket, bits)
+
+* ``sample_bucket`` bounds the width of one index cell (bits of
+  ``sample_bucket_size`` samples ⇒ cells stay small even at 10^12 docs).
+* ``slice_bucket`` is a RANGE bucket of slice_id (analog of
+  calculate_index_chunksize, utilities.py:182-211); the index is
+  persisted ``partitionBy(slice_bucket)`` so membership queries prune to
+  exactly the partitions holding their hash positions.
+* all-zero slices are never stored (sparse), which is why the search
+  layer treats a missing (slice, bucket) cell as an all-zero vector.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from metaprofi_spark.config import SketchConfig
+
+INDEX_SCHEMA = "slice_id long, sample_bucket int, bits binary"
+
+
+def slice_bucket_size(cfg: SketchConfig) -> int:
+    return (cfg.m_padded + cfg.slice_buckets - 1) // cfg.slice_buckets
+
+
+def plan_index_geometry(
+    cfg: SketchConfig, task_budget_bytes: int = 256 << 20, sample_bucket_size: int | None = None
+) -> int:
+    """Pick sample_bucket_size so one transpose task's packed input
+    (bucket_size × chunk_bytes) fits the budget — the Spark analog of the
+    reference's memory-budgeted chunk planner (utilities.py:131-179)."""
+    if sample_bucket_size is not None:
+        return sample_bucket_size
+    n = max(task_budget_bytes // max(cfg.chunk_bytes, 1), 64)
+    # round down to a power of two for stable bucket arithmetic
+    return 1 << (int(n).bit_length() - 1)
+
+
+def build_index(
+    bf_df: DataFrame,
+    cfg: SketchConfig,
+    sample_bucket_size: int | None = None,
+    slice_block: int = 1 << 13,
+) -> DataFrame:
+    """Transpose the filter matrix into bit-slices.
+
+    ``bf_df`` is the output of ``build_matrix`` (sample_idx, chunk_id, bf).
+    Returns DataFrame(slice_id, sample_bucket, slice_bucket, bits) with
+    all-zero slices omitted.
+    """
+    bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    width_bytes = (bucket + 7) // 8
+    chunk_bits = cfg.chunk_bits
+    chunk_bytes = cfg.chunk_bytes
+    sb_size = slice_bucket_size(cfg)
+
+    def transpose(key, pdf):
+        chunk_id, sbucket = int(key[0]), int(key[1])
+        local = (pdf["sample_idx"].to_numpy() - sbucket * bucket).astype(np.int64)
+        mats = np.zeros((len(pdf), chunk_bytes), dtype=np.uint8)
+        for i, b in enumerate(pdf["bf"]):
+            a = np.frombuffer(b, dtype=np.uint8)
+            mats[i, : len(a)] = a
+        base = chunk_id * chunk_bits
+        out_sid: list[int] = []
+        out_bits: list[bytes] = []
+        # process the chunk in slice blocks so unpacked memory stays
+        # ~ len(pdf) × slice_block bytes regardless of chunk width
+        for blk in range(0, chunk_bits, slice_block):
+            bend = min(blk + slice_block, chunk_bits)
+            sub = mats[:, blk // 8 : (bend + 7) // 8]
+            bits = np.unpackbits(sub, axis=1, bitorder="little")[:, : bend - blk]
+            nz = np.nonzero(bits.any(axis=0))[0]
+            if len(nz) == 0:
+                continue
+            colmat = np.zeros((len(nz), bucket), dtype=np.uint8)
+            colmat[:, local] = bits[:, nz].T
+            packed = np.packbits(colmat, axis=1, bitorder="little")
+            out_sid.extend((base + blk + nz).tolist())
+            out_bits.extend(packed[r].tobytes() for r in range(len(nz)))
+        return pd.DataFrame(
+            {
+                "slice_id": pd.array(out_sid, dtype="int64"),
+                "sample_bucket": pd.array([sbucket] * len(out_sid), dtype="int32"),
+                "bits": out_bits,
+            }
+        )
+
+    assert width_bytes > 0
+    with_bucket = bf_df.withColumn(
+        "sample_bucket", (F.col("sample_idx") / F.lit(bucket)).cast("int")
+    )
+    idx = with_bucket.groupBy("chunk_id", "sample_bucket").applyInPandas(
+        transpose, INDEX_SCHEMA
+    )
+    return idx.withColumn(
+        "slice_bucket", (F.col("slice_id") / F.lit(sb_size)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persistence: Iceberg-shaped parquet layout + manifest (config + lineage)
+# ---------------------------------------------------------------------------
+
+def persist_index(
+    index_df: DataFrame,
+    path: str,
+    cfg: SketchConfig,
+    n_samples: int,
+    sample_bucket_size: int | None = None,
+    extra_meta: dict | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the index partitioned by slice_bucket + a JSON manifest.
+
+    The manifest is the analog of the reference's store attrs
+    (zarrstore.py:243-272): config, sample count, update counter — the
+    contract checked on load (F8 guard).
+    """
+    index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
+        os.path.join(path, "index")
+    )
+    manifest = {
+        "config": json.loads(cfg.to_json()),
+        "n_samples": int(n_samples),
+        "sample_bucket_size": plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size),
+        "update_count": 0,
+        "format_version": 1,
+    }
+    manifest.update(extra_meta or {})
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+def load_index(
+    spark: SparkSession, path: str, cfg: SketchConfig | None = None
+) -> tuple[DataFrame, SketchConfig, dict]:
+    """Load an index store; refuse on config mismatch (search_index.py:77-97)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    stored = SketchConfig(**manifest["config"])
+    if cfg is not None:
+        cfg.require_compatible(stored)
+    df = spark.read.parquet(os.path.join(path, "index"))
+    return df, stored, manifest

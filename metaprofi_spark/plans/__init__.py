@@ -1,0 +1,3 @@
+from metaprofi_spark.plans.session import get_spark
+
+__all__ = ["get_spark"]

@@ -1,0 +1,150 @@
+"""End-to-end Bloom pipeline tests: build -> index -> search on Spark."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metaprofi_spark import SketchConfig
+from metaprofi_spark.operators import (
+    build_index,
+    build_matrix,
+    build_matrix_grouped,
+    load_index,
+    matrix_summary,
+    persist_index,
+    search,
+)
+from tests.conftest import SF_DIR
+
+CFG = SketchConfig(k=8, h=2, m=1 << 16, chunk_bits=1 << 13, slice_buckets=16)
+BUCKET = 64  # small sample_bucket_size to exercise multi-bucket paths
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    bf = build_matrix(docs, CFG, id_col="doc_id", text_col="text")
+    idx = build_index(bf, CFG, sample_bucket_size=BUCKET).cache()
+    idx.count()
+    return idx
+
+
+def test_matrix_shape(spark, docs):
+    bf = build_matrix(docs, CFG)
+    rows = bf.collect()
+    assert rows, "matrix should not be empty"
+    n_docs = docs.count()
+    assert len({r.sample_idx for r in rows}) == n_docs
+    for r in rows[:20]:
+        assert 0 <= r.chunk_id < CFG.n_chunks
+        assert len(r.bf) == CFG.chunk_bytes
+
+
+def test_index_sparse_and_bucketed(index):
+    rows = index.limit(200).collect()
+    assert rows
+    sb_size = (CFG.m_padded + CFG.slice_buckets - 1) // CFG.slice_buckets
+    for r in rows:
+        assert 0 <= r.slice_id < CFG.m_padded
+        assert r.slice_bucket == r.slice_id // sb_size
+        # sparse: stored slices are nonzero
+        assert any(b for b in r.bits)
+
+
+def test_zero_false_negatives(spark, docs, index):
+    """Every substring of an indexed doc MUST be found (exact search)."""
+    sample = docs.orderBy("doc_id").limit(5).collect()
+    queries = [
+        (f"q{r.doc_id}", r.text[3 : 3 + 4 * CFG.k]) for r in sample if len(r.text) > 5 * CFG.k
+    ]
+    assert queries
+    res = search(spark, index, queries, CFG, threshold=100, sample_bucket_size=BUCKET)
+    got = {(r.query_id, r.sample_idx) for r in res.collect()}
+    for qid, _ in queries:
+        assert (qid, int(qid[1:])) in got, f"false negative for {qid}"
+
+
+def test_exact_search_full_text(spark, docs, index):
+    """A whole document as query must match (at least) its own doc."""
+    r0 = docs.orderBy("doc_id").first()
+    res = search(spark, index, [("full", r0.text)], CFG, 100, BUCKET).collect()
+    assert any(row.sample_idx == r0.doc_id for row in res)
+    for row in res:
+        assert row.kgram_hits == row.n_kgrams
+        assert row.pct == 100.0
+
+
+def test_absent_kgram_fpr_bound(spark, docs, index):
+    """Decoy k-grams (chars outside the corpus alphabet) must rarely hit:
+    measured FPR <= 1.2 x (1 - e^(-hn/m))^h with n = per-doc k-grams."""
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"@#%&*+=~^|<>{}[]", dtype=np.uint8)
+    decoys = [
+        ("d%d" % i, bytes(rng.choice(alphabet, CFG.k)).decode())
+        for i in range(200)
+    ]
+    res = search(spark, index, decoys, CFG, 100, BUCKET)
+    n_docs = docs.count()
+    hits = res.count()
+    # bound per (decoy, doc) trial; per-doc n is ~300 kgrams at sf0.001
+    texts = [r.text for r in docs.select("text").collect()]
+    avg_n = float(np.mean([max(len(t.encode()) - CFG.k + 1, 0) for t in texts]))
+    fpr_bound = CFG.fpr(int(avg_n))
+    measured = hits / (len(decoys) * n_docs)
+    assert measured <= 1.2 * fpr_bound + 1e-9, (measured, fpr_bound)
+
+
+def test_threshold_monotonicity(spark, docs, index):
+    """Lowering t can only grow the result set (search_index.py:532)."""
+    r0 = docs.orderBy("doc_id").first()
+    # half-real half-garbage query => partial hit percentage
+    q = [("mix", r0.text[: 6 * CFG.k] + "@@@@@@@@@@@@@@@@@@@@@@@@")]
+    sizes = {}
+    for t in (100, 75, 40, 10):
+        sizes[t] = search(spark, index, q, CFG, t, BUCKET).count()
+    assert sizes[100] <= sizes[75] <= sizes[40] <= sizes[10]
+    assert sizes[10] >= 1  # its own doc passes a low threshold
+
+
+def test_grouped_build_equals_merged_singles(spark, docs):
+    """bf(group) == OR of per-row filters — merge associativity on Spark."""
+    from metaprofi_spark.kernels import or_reduce
+
+    grouped = build_matrix_grouped(docs, CFG, group_col="lang").collect()
+    singles = build_matrix(docs, CFG).collect()
+    id_lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    merged = {}
+    for r in singles:
+        key = (id_lang[r.sample_idx], r.chunk_id)
+        merged.setdefault(key, []).append(r.bf)
+    expect = {k: or_reduce(v, CFG.chunk_bytes) for k, v in merged.items()}
+    got = {(r.group_key, r.chunk_id): r.bf for r in grouped}
+    assert got == expect
+
+
+def test_persist_load_roundtrip(spark, docs, index, tmp_path):
+    path = str(tmp_path / "store")
+    persist_index(index, path, CFG, n_samples=docs.count(), sample_bucket_size=BUCKET)
+    loaded, stored_cfg, manifest = load_index(spark, path, CFG)
+    assert stored_cfg == CFG
+    assert manifest["n_samples"] == docs.count()
+    assert loaded.count() == index.count()
+    # partition pruning is real: parquet layout has slice_bucket=N dirs
+    import os
+
+    assert any("slice_bucket=" in d for d in os.listdir(os.path.join(path, "index")))
+    # config mismatch refused
+    with pytest.raises(ValueError):
+        load_index(spark, path, SketchConfig(k=9))
+
+
+def test_summary(spark, docs):
+    bf = build_matrix(docs, CFG)
+    s = matrix_summary(bf, CFG)
+    assert s["n_samples"] == docs.count()
+    assert 0 < s["fill_ratio"] < 1
+    assert s["set_bits"] > 0
