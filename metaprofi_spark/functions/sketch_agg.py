@@ -1,0 +1,232 @@
+"""Mergeable sketch UDAFs: HLL, count–min, KLL over DataFrames.
+
+All three share the Bloom build's execution shape (SURVEY.md §2.4 A1):
+
+  stage 1 (map, ``mapInPandas``): fold each task's rows into ONE partial
+      sketch per group — the map-side combine Catalyst cannot inject
+      into pandas UDAFs, done explicitly so only fixed-size sketch
+      blobs cross the shuffle, never raw rows;
+  stage 2 (reduce, ``groupBy().applyInPandas``): merge partials with the
+      sketch's associative+commutative merge (max / sum / compact).
+
+Built-in cross-checks (used by tests, not by these implementations):
+``approx_count_distinct`` (HLL++), SQL ``count_min_sketch``,
+``percentile_approx``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from metaprofi_spark.kernels import hll as H
+from metaprofi_spark.kernels import cms as C
+from metaprofi_spark.kernels.kll import KLLSketch
+
+
+def _group_ddl(df: DataFrame, group_cols: list[str]) -> str:
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{c} {fields[c]}" for c in group_cols)
+
+
+def _partial_final(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    new_acc,
+    fold,          # (acc, value_series) -> None
+    merge_blobs,   # list[bytes] -> bytes
+    out_cols_ddl: str,
+    finalize,      # bytes -> dict of output column -> scalar
+) -> DataFrame:
+    gddl = _group_ddl(df, group_cols)
+    partial_schema = f"{gddl}, sketch binary"
+
+    def partial(batches):
+        accs: dict[tuple, object] = {}
+        keyvals: dict[tuple, tuple] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                acc = accs.get(key)
+                if acc is None:
+                    acc = accs[key] = new_acc()
+                    keyvals[key] = key
+                fold(acc, sub[value_col])
+        rows = {c: [] for c in group_cols}
+        blobs = []
+        for key, acc in accs.items():
+            for c, v in zip(group_cols, keyvals[key]):
+                rows[c].append(v)
+            blobs.append(serialize_acc(acc))
+        rows["sketch"] = blobs
+        yield pd.DataFrame(rows)
+
+    def serialize_acc(acc):
+        return acc.serialize() if hasattr(acc, "serialize") else acc
+
+    final_schema = f"{gddl}, {out_cols_ddl}, sketch binary"
+
+    def final(key, pdf):
+        blob = merge_blobs(list(pdf["sketch"]))
+        out = {c: [v] for c, v in zip(group_cols, key)}
+        for name, val in finalize(blob).items():
+            out[name] = [val]
+        out["sketch"] = [blob]
+        return pd.DataFrame(out)
+
+    partials = df.select(*group_cols, value_col).mapInPandas(partial, partial_schema)
+    return partials.groupBy(*group_cols).applyInPandas(final, final_schema)
+
+
+# ---------------------------------------------------------------------------
+# HLL — distinct cardinality
+# ---------------------------------------------------------------------------
+
+def hll_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL: (group..., n_distinct_est double, sketch binary)."""
+
+    def merge_blobs(blobs):
+        regs = H.hll_deserialize(blobs[0])
+        for b in blobs[1:]:
+            regs = H.hll_merge(regs, H.hll_deserialize(b))
+        return H.hll_serialize(regs)
+
+    def finalize(blob):
+        return {"n_distinct_est": float(H.hll_estimate(H.hll_deserialize(blob)))}
+
+    class _Acc:
+        __slots__ = ("regs",)
+
+        def __init__(self):
+            self.regs = H.hll_init(p)
+
+        def serialize(self):
+            return H.hll_serialize(self.regs)
+
+    def fold(acc, series):
+        vals = [str(v).encode("utf-8") for v in series if v is not None]
+        H.hll_add(acc.regs, vals)
+
+    return _partial_final(
+        df, group_cols, value_col, _Acc, fold, merge_blobs,
+        "n_distinct_est double", finalize,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS — frequency estimates
+# ---------------------------------------------------------------------------
+
+def cms_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Per-group count–min sketch: (group..., n_total long, sketch binary).
+
+    ``value_col`` values are counted once each (pre-explode tokens
+    upstream; pre-aggregated (value, count) folding is available on the
+    kernel directly).
+    """
+
+    class _Acc:
+        __slots__ = ("table", "n")
+
+        def __init__(self):
+            self.table = C.cms_init(depth, width)
+            self.n = 0
+
+        def serialize(self):
+            return np.int64(self.n).tobytes() + C.cms_serialize(self.table)
+
+    def fold(acc, series: pd.Series):
+        counts = series.value_counts()
+        vals = [str(v).encode("utf-8") for v in counts.index]
+        C.cms_add(acc.table, vals, counts.to_numpy().astype(np.int64))
+        acc.n += int(counts.sum())
+
+    def merge_blobs(blobs):
+        n = sum(int(np.frombuffer(b[:8], dtype=np.int64)[0]) for b in blobs)
+        table = C.cms_deserialize(blobs[0][8:])
+        for b in blobs[1:]:
+            table = C.cms_merge(table, C.cms_deserialize(b[8:]))
+        return np.int64(n).tobytes() + C.cms_serialize(table)
+
+    def finalize(blob):
+        return {"n_total": int(np.frombuffer(blob[:8], dtype=np.int64)[0])}
+
+    return _partial_final(
+        df, group_cols, value_col, _Acc, fold, merge_blobs, "n_total long", finalize
+    )
+
+
+def cms_query_blob(blob: bytes, keys: list[str]) -> dict[str, int]:
+    """Point-query a serialized CMS blob (driver side)."""
+    table = C.cms_deserialize(blob[8:])
+    ests = C.cms_query(table, [k.encode("utf-8") for k in keys])
+    return {k: int(e) for k, e in zip(keys, ests)}
+
+
+# ---------------------------------------------------------------------------
+# KLL — quantiles
+# ---------------------------------------------------------------------------
+
+def kll_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-group KLL sketch: (group..., n long, sketch binary)."""
+
+    def new_acc():
+        return KLLSketch(k)
+
+    def fold(acc: KLLSketch, series: pd.Series):
+        acc.add(series.dropna().to_numpy(dtype=np.float64))
+
+    def merge_blobs(blobs):
+        sk = KLLSketch.deserialize(blobs[0])
+        for b in blobs[1:]:
+            sk = sk.merge(KLLSketch.deserialize(b))
+        return sk.serialize()
+
+    def finalize(blob):
+        return {"n": int(KLLSketch.deserialize(blob).n)}
+
+    return _partial_final(
+        df, group_cols, value_col, new_acc, fold, merge_blobs, "n long", finalize
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group quantile estimates: (group..., qp double, value double)."""
+    agg = kll_agg(df, group_cols, value_col, k)
+    gddl = _group_ddl(df, group_cols)
+    schema = f"{gddl}, qp double, value double"
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {c: [] for c in group_cols}
+        rows["qp"], rows["value"] = [], []
+        for _, r in pdf.iterrows():
+            sk = KLLSketch.deserialize(r["sketch"])
+            for q in qs:
+                for c in group_cols:
+                    rows[c].append(r[c])
+                rows["qp"].append(float(q))
+                rows["value"].append(sk.quantile(q))
+        return pd.DataFrame(rows)
+
+    return agg.groupBy(*group_cols).applyInPandas(
+        lambda key, pdf: expand(pdf), schema
+    )

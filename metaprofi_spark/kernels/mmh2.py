@@ -69,6 +69,46 @@ def mmh2_64_windows(windows: np.ndarray, seeds: np.ndarray | list[int]) -> np.nd
     return h
 
 
+def mmh2_64_bytes(values: list[bytes], seeds: np.ndarray | list[int]) -> np.ndarray:
+    """Hash a batch of VARIABLE-length byte strings with every seed.
+
+    Groups values by length so each group goes through the vectorized
+    fixed-width kernel — no per-row Python hashing.  Returns
+    (len(values), len(seeds)) uint64.
+    """
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    out = np.empty((len(values), len(seeds)), dtype=np.uint64)
+    if not values:
+        return out
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=len(values))
+    order = np.argsort(lens, kind="stable")
+    joined = np.frombuffer(b"".join(values[i] for i in order), dtype=np.uint8)
+    # empty input: hash of b"" = finalized init value
+    pos = 0
+    i = 0
+    n = len(values)
+    while i < n:
+        L = lens[order[i]]
+        j = i
+        while j < n and lens[order[j]] == L:
+            j += 1
+        cnt = j - i
+        if L == 0:
+            with np.errstate(over="ignore"):
+                h = seeds ^ np.uint64(0)
+                h = h.copy()
+                h ^= h >> _R
+                h *= _M
+                h ^= h >> _R
+            out[order[i:j]] = h
+        else:
+            block = joined[pos : pos + cnt * L].reshape(cnt, L)
+            out[order[i:j]] = mmh2_64_windows(block, seeds)
+            pos += cnt * L
+        i = j
+    return out
+
+
 def mmh2_64_scalar(data: bytes, seed: int = 0) -> int:
     """Slow, obviously-correct scalar implementation (test oracle)."""
     m = 0xC6A4A7935BD1E995

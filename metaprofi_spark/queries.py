@@ -136,6 +136,147 @@ HAVING count(*) * 100 >= {THRESHOLD_T} * {n}
 
 
 # ---------------------------------------------------------------------------
+# sketch aggregations (A1 siblings) + their exact SQL-checkable twins
+# ---------------------------------------------------------------------------
+
+def distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (the SQL-checkable twin of hll_distinct_per_lang)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_distinct"))
+        .select("lang", "n_distinct")
+    )
+
+
+DISTINCT_DOCS_SQL = "SELECT lang, COUNT(DISTINCT doc_id) AS n_distinct FROM documents GROUP BY lang"
+
+
+def hll_distinct_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL UDAF estimate per lang (sketch estimate — no SQL oracle;
+    error bound asserted in tests/test_sketches.py)."""
+    from metaprofi_spark.functions.sketch_agg import hll_agg
+
+    return (
+        hll_agg(_docs(spark, sf_dir), ["lang"], "doc_id", p=12)
+        .select("lang", "n_distinct_est")
+    )
+
+
+def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token frequency top-100 (twin of cms_token_freq)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+TOKEN_FREQ_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min estimates for the corpus' tokens (overestimate-only,
+    <= true + eps*N — bound asserted in tests)."""
+    from metaprofi_spark.functions.sketch_agg import cms_agg, cms_query_blob
+
+    tokens = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    res = cms_agg(tokens.withColumn("g", F.lit(1)), ["g"], "token", 4, 8192).collect()
+    blob = res[0]["sketch"]
+    keys = sorted(r.token for r in tokens.select("token").distinct().collect())
+    ests = cms_query_blob(blob, keys)
+    return spark.createDataFrame(
+        [(t, int(e)) for t, e in ests.items()], "token string, est long"
+    )
+
+
+QUANTILE_PCTS = [10, 50, 90, 99]
+
+
+def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based quantiles of n_chars (twin of kll_doclen_quantiles).
+
+    rank = floor((n-1) * q_pct / 100) + 1 over (n_chars, doc_id) order —
+    integer math only, so Spark and DuckDB agree bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    ranked = docs.select(
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in QUANTILE_PCTS], "q_pct int")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(
+            F.col("rn") == F.floor((F.col("n") - 1) * F.col("q_pct") / 100) + 1
+        )
+        .select("q_pct", F.col("n_chars").alias("value"))
+    )
+
+
+DOCLEN_QUANTILES_SQL = f"""
+SELECT q_pct, n_chars AS value
+FROM (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+) r
+JOIN (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)}) q(q_pct)
+  ON r.rn = (r.n - 1) * q.q_pct // 100 + 1
+"""
+
+
+def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sketch quantiles of n_chars (sketch estimate — rank-error
+    bound asserted in tests/test_sketches.py)."""
+    from metaprofi_spark.functions.sketch_agg import kll_quantiles
+
+    docs = _docs(spark, sf_dir).withColumn("g", F.lit(1))
+    return kll_quantiles(docs, ["g"], "n_chars", [p / 100 for p in QUANTILE_PCTS]).select(
+        "qp", "value"
+    )
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 summary analog: corpus-level stats, fully SQL-checkable."""
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+CORPUS_SUMMARY_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -143,6 +284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_substring_search": bloom_substring_search,
         "bloom_threshold_search": bloom_threshold_search,
+        "distinct_docs_per_lang": distinct_docs_per_lang,
+        "hll_distinct_per_lang": hll_distinct_per_lang,
+        "token_freq_topk": token_freq_topk,
+        "cms_token_freq": cms_token_freq,
+        "doclen_quantiles": doclen_quantiles,
+        "kll_doclen_quantiles": kll_doclen_quantiles,
+        "corpus_summary": corpus_summary,
     }
 
 
@@ -150,4 +298,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bloom_substring_search": BLOOM_SUBSTRING_SQL,
         "bloom_threshold_search": _threshold_sql(),
+        "distinct_docs_per_lang": DISTINCT_DOCS_SQL,
+        "token_freq_topk": TOKEN_FREQ_SQL,
+        "doclen_quantiles": DOCLEN_QUANTILES_SQL,
+        "corpus_summary": CORPUS_SUMMARY_SQL,
+        # hll_distinct_per_lang / cms_token_freq / kll_doclen_quantiles are
+        # sketch ESTIMATES: no SQL oracle; bounds asserted in tests/.
     }
