@@ -277,6 +277,134 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ops: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count, punctuation chars, stopword hits, language-ID
+    heuristic — all integer/string outputs (bit-exact vs the oracle)."""
+    from metaprofi_spark.functions.text import lang_id, lang_scores, token_count
+
+    docs = _docs(spark, sf_dir)
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS dtoks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tok,
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       len(list_intersect(dtoks, ['the','and','of','to','a','in','is','that','it','for'])) AS s_en,
+       len(list_intersect(dtoks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+       CASE
+         WHEN len(list_intersect(dtoks, ['the','and','of','to','a','in','is','that','it','for'])) >= len(list_intersect(dtoks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu']))
+          AND len(list_intersect(dtoks, ['the','and','of','to','a','in','is','that','it','for'])) >= len(list_intersect(dtoks, ['el','la','de','que','y','en','un','por','con','para']))
+          AND len(list_intersect(dtoks, ['the','and','of','to','a','in','is','that','it','for'])) >= len(list_intersect(dtoks, ['le','la','et','les','des','un','une','du','est','pour']))
+         THEN 'en'
+         WHEN len(list_intersect(dtoks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) >= len(list_intersect(dtoks, ['el','la','de','que','y','en','un','por','con','para']))
+          AND len(list_intersect(dtoks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) >= len(list_intersect(dtoks, ['le','la','et','les','des','un','une','du','est','pour']))
+         THEN 'de'
+         WHEN len(list_intersect(dtoks, ['el','la','de','que','y','en','un','por','con','para'])) >= len(list_intersect(dtoks, ['le','la','et','les','des','un','une','du','est','pour']))
+         THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang
+FROM t
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float quality heuristic (no oracle — float expression trees are
+    engine-specific; components are oracle-checked via text_stats)."""
+    from metaprofi_spark.functions.text import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups: md5 fingerprint of normalized text."""
+    from metaprofi_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+JACCARD_TAU = 80
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (the dedup ground truth)."""
+    from metaprofi_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_TAU)
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (probabilistic — recall property
+    asserted in tests/test_pipeline_ops.py; no SQL oracle)."""
+    from metaprofi_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), 64, 16)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-banded candidates (probabilistic; no SQL oracle)."""
+    from metaprofi_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(spark, sf_dir))
+
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 10
+
+
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k neighbors by quantized dot product (integer
+    arithmetic => bit-exact vs DuckDB)."""
+    from metaprofi_spark.operators.similarity import knn_topk_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_topk_quantized(emb, KNN_QUERY_IDS, KNN_K)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (recall vs brute force
+    asserted in tests; no SQL oracle)."""
+    from metaprofi_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, KNN_QUERY_IDS, dim=64, k=KNN_K, n_bits=4, n_tables=24)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode/feature plumbing (deterministic fake decoder
+    — stable across partitionings; no SQL oracle)."""
+    from metaprofi_spark.operators.multimodal import decode_and_featurize
+
+    return decode_and_featurize(_docs(spark, sf_dir), payload_col="text")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -291,10 +419,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_quantiles": doclen_quantiles,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "corpus_summary": corpus_summary,
+        "text_stats": text_stats,
+        "quality_scores": quality_scores,
+        "fingerprint_groups": fingerprint_groups,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_candidates": minhash_candidates,
+        "simhash_pairs": simhash_pairs,
+        "knn_quantized": knn_quantized,
+        "ann_lsh": ann_lsh,
+        "multimodal_decode": multimodal_decode,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from metaprofi_spark.operators.dedup import ngram_jaccard_sql
+    from metaprofi_spark.operators.similarity import knn_quantized_sql
     return {
         "bloom_substring_search": BLOOM_SUBSTRING_SQL,
         "bloom_threshold_search": _threshold_sql(),
@@ -302,6 +441,12 @@ def oracle_sql() -> dict[str, str]:
         "token_freq_topk": TOKEN_FREQ_SQL,
         "doclen_quantiles": DOCLEN_QUANTILES_SQL,
         "corpus_summary": CORPUS_SUMMARY_SQL,
-        # hll_distinct_per_lang / cms_token_freq / kll_doclen_quantiles are
-        # sketch ESTIMATES: no SQL oracle; bounds asserted in tests/.
+        "text_stats": TEXT_STATS_SQL,
+        "fingerprint_groups": FINGERPRINT_SQL,
+        "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
+        "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
+        # no SQL oracle (estimates / probabilistic / float-tree / stub):
+        # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
+        # quality_scores, minhash_candidates, simhash_pairs, ann_lsh,
+        # multimodal_decode — bounds/properties asserted in tests/.
     }

@@ -1,0 +1,189 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metaprofi_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash_fingerprint,
+    token_count,
+)
+from metaprofi_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from metaprofi_spark.operators.multimodal import decode_and_featurize, frame_sample_plan
+from metaprofi_spark.operators.similarity import ann_lsh_topk, knn_topk_cosine, knn_topk_quantized
+from tests.conftest import SF01_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF01_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF01_DIR}/embeddings.parquet").cache()
+
+
+# ------------------------- exact dedup -------------------------------------
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    # plant duplicates: same text, different ids / whitespace / case
+    rows = [
+        (10001, "The Quick  Brown Fox"),
+        (10002, "the quick brown fox"),
+        (10003, "a unique document"),
+    ]
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicate_groups(extra)
+    dup = [r for r in groups.collect() if r.n_docs > 1]
+    assert len(dup) == 1 and dup[0].n_docs == 2 and dup[0].keep_id == 10001
+    kept = drop_exact_duplicates(extra)
+    assert kept.count() == 2
+    assert {r.doc_id for r in kept.collect()} == {10001, 10003}
+
+
+def test_jaccard_pairs_symmetric_bound(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),  # jacc 3/5 = 0.6
+        (3, "zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r for r in ngram_jaccard_pairs(df, 50).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    assert pairs[(1, 2)].shared == 3
+    assert ngram_jaccard_pairs(df, 70).count() == 0
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, docs):
+    """Planted near-identical docs must collide in >= 1 band."""
+    base = [r.text for r in docs.limit(20).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        toks = t.split()
+        toks[len(toks) // 2] = "PERTURBED"  # ~1-token difference
+        rows.append((2 * i + 1, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, 64, 16).collect()}
+    planted = [(2 * i, 2 * i + 1) for i in range(len(base))]
+    recall = sum(p in cand for p in planted) / len(planted)
+    assert recall >= 0.9, recall  # jacc ~0.9 ⇒ collision prob ≈ 1-(1-0.9^4)^16 ≈ 1
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    base = [r.text for r in docs.limit(10).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t + " tailtoken"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(df).collect()}
+    found = [cand.get((2 * i, 2 * i + 1)) for i in range(len(base))]
+    hits = [h for h in found if h is not None]
+    assert len(hits) >= 8  # near-identical docs share a 16-bit block
+    assert all(h <= 16 for h in hits)
+
+
+# ------------------------- similarity --------------------------------------
+
+def test_knn_quantized_topk(spark, embeddings):
+    res = knn_topk_quantized(embeddings, [0, 1], k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        dots = [r.dot for r in rows]
+        assert dots == sorted(dots, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, embeddings):
+    qids = [0, 1, 2, 3, 4]
+    brute = knn_topk_cosine(embeddings, qids, k=10).collect()
+    # weakly-clustered random vectors (top cosine ~0.37) need short codes
+    # + many tables: p_collide = 1-(1-p_bit^4)^24 ~ 0.95 at cosine 0.3
+    approx = ann_lsh_topk(embeddings, qids, dim=64, k=10, n_bits=4, n_tables=24).collect()
+    bset = {}
+    for r in brute:
+        bset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    aset = {}
+    for r in approx:
+        aset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(bset[q] & aset.get(q, set())) / 10 for q in qids]
+    assert float(np.mean(recalls)) >= 0.5, recalls  # ANN tradeoff, bounded below
+
+
+# ------------------------- text functions ----------------------------------
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "!!! ??? ***"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        rolling_hash_fingerprint(F.col("text")).alias("rh"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].n_tok == 9 and rows[1].lang == "en"
+    assert rows[2].lang == "de"
+    assert rows[3].q < rows[1].q  # punctuation garbage scores lower
+    assert rows[4].n_tok == 0
+    assert rows[1].fp != rows[2].fp and len(rows[1].fp) == 32
+    assert rows[1].rh != rows[2].rh and rows[4].rh == 0
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ba")], "doc_id long, text string")
+    r = {x.doc_id: x.rh for x in df.select("doc_id", rolling_hash_fingerprint(F.col("text")).alias("rh")).collect()}
+    assert r[1] != r[2]
+
+
+# ------------------------- multimodal --------------------------------------
+
+def test_multimodal_fake_decode_deterministic(spark, docs):
+    feats = decode_and_featurize(docs.limit(50), payload_col="text")
+    a = {r.doc_id: (r.width, r.height, tuple(r.features)) for r in feats.collect()}
+    b = {
+        r.doc_id: (r.width, r.height, tuple(r.features))
+        for r in decode_and_featurize(docs.limit(50).repartition(7), payload_col="text").collect()
+    }
+    assert a == b  # stable across partitionings
+    w, h, f = next(iter(a.values()))
+    assert 16 <= w < 1936 and 16 <= h < 1096 and len(f) == 16
+
+
+def test_multimodal_raise_stub(spark, docs):
+    from py4j.protocol import Py4JJavaError
+
+    bad = decode_and_featurize(docs.limit(1), payload_col="text", decode_stub="raise")
+    with pytest.raises(Exception) as ei:
+        bad.collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_frame_sample_plan(spark, docs):
+    plan = frame_sample_plan(docs.limit(5), payload_col="text", every_n=2)
+    rows = plan.collect()
+    assert rows and all(r.frame_idx % 2 == 0 for r in rows)
