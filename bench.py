@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ...,
+   "kgram_insertions_per_sec": ...,          # north-rule throughput
+   "scaling": {"cores_lo":8, "tput_lo":..., "cores_hi":32,
+               "tput_hi":..., "efficiency":...}}
+
+The scaling block is the sandbox substitute for the N vs 4N executor
+criterion: the SAME Bloom matrix+index build over the SAME deterministic
+pages input at local[8] and local[32]; efficiency =
+(tput_hi / tput_lo) / (cores_hi / cores_lo).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000),
+SPARK_GRAFT_SCALING (default 1; set 0 to skip the local[8] run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metaprofi_spark import SketchConfig  # noqa: E402
+from metaprofi_spark.operators import build_index, build_matrix, search  # noqa: E402
+from metaprofi_spark.plans.session import get_spark  # noqa: E402
+from metaprofi_spark.sources.pages import generate_pages  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+BENCH_CFG = SketchConfig(k=12, h=2, m=1 << 17, chunk_bits=1 << 17, slice_buckets=32)
+BENCH_BUCKET = 2048
+PAGES_PATH = f"/tmp/metaprofi_bench_pages_{BENCH_DOCS}.parquet"
+
+
+def ensure_pages() -> None:
+    if os.path.exists(PAGES_PATH):
+        return
+    spark = get_spark(cores=CPUS, app_name="bench-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_pages(spark, BENCH_DOCS, partitions=4 * CPUS).write.mode(
+        "overwrite"
+    ).parquet(PAGES_PATH)
+    spark.stop()
+
+
+def count_insertions(spark) -> int:
+    """Total k-gram insertions = h * sum(max(bytelen(lower(text))-k+1, 0))."""
+    pages = spark.read.parquet(PAGES_PATH)
+    w = pages.select(
+        F.greatest(
+            F.octet_length(F.lower(F.col("text"))) - F.lit(BENCH_CFG.k - 1), F.lit(0)
+        ).alias("w")
+    ).agg(F.sum("w")).first()[0]
+    return int(w) * BENCH_CFG.h
+
+
+def bloom_build_job(cores: int) -> tuple[float, int]:
+    """The scaling unit: matrix build + bit-sliced index transpose over
+    the deterministic pages table.  Returns (wall sec, insertions)."""
+    spark = get_spark(
+        cores=cores, app_name=f"bench-build-{cores}",
+        shuffle_partitions=max(2 * cores, 16),
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "16384"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    insertions = count_insertions(spark)
+    # dense doc_id recovered from the url JVM-side (ids are 0..N-1 by
+    # construction — no sort, no python udf)
+    pages = spark.read.parquet(PAGES_PATH).withColumn(
+        "doc_id", F.substring_index(F.col("url"), "/", 1 * -1).cast("long")
+    )
+    t0 = time.time()
+    bf = build_matrix(pages, BENCH_CFG, id_col="doc_id", text_col="text")
+    idx = build_index(bf, BENCH_CFG, sample_bucket_size=BENCH_BUCKET)
+    n_index_rows = idx.count()
+    wall = time.time() - t0
+    spark.stop()
+    assert n_index_rows > 0
+    return wall, insertions
+
+
+def sf_queries(spark) -> dict[str, float]:
+    """Headline per-query timings at SF_DIR."""
+    import metaprofi_spark.queries as Q
+
+    names = [
+        "bloom_substring_search",
+        "bloom_threshold_search",
+        "hll_distinct_per_lang",
+        "cms_token_freq",
+        "kll_doclen_quantiles",
+        "minhash_candidates",
+        "simhash_pairs",
+        "knn_quantized",
+        "text_stats",
+        "fingerprint_groups",
+    ]
+    out: dict[str, float] = {}
+    reg = Q.queries()
+    for name in names:
+        t0 = time.time()
+        df = reg[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    ensure_pages()
+
+    result: dict = {"sf": SF_DIR, "unit": "sec"}
+
+    # scaling runs (lo first so the hi run also warms nothing extra)
+    scaling = {}
+    if RUN_SCALING:
+        wall_lo, ins = bloom_build_job(8)
+        scaling.update(cores_lo=8, sec_lo=round(wall_lo, 2),
+                       tput_lo=round(ins / wall_lo, 0))
+    wall_hi, ins = bloom_build_job(CPUS)
+    tput_hi = ins / wall_hi
+    scaling.update(cores_hi=CPUS, sec_hi=round(wall_hi, 2),
+                   tput_hi=round(tput_hi, 0))
+    if RUN_SCALING:
+        scaling["efficiency"] = round(
+            (scaling["tput_hi"] / scaling["tput_lo"]) / (CPUS / 8), 3
+        )
+
+    spark = get_spark(cores=CPUS, app_name="bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = sf_queries(spark)
+    queries["bloom_build_index_pages"] = round(wall_hi, 3)
+    spark.stop()
+
+    result.update(
+        metric="headline_queries_total",
+        value=round(sum(queries.values()), 3),
+        queries=queries,
+        kgram_insertions_per_sec=round(tput_hi, 0),
+        bench_docs=BENCH_DOCS,
+        scaling=scaling,
+        config={"k": BENCH_CFG.k, "h": BENCH_CFG.h, "m": BENCH_CFG.m},
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,10 @@ class SketchConfig:
         normalize: "lower" to casefold k-grams before hashing (the
            canonical_kmer analog, bloomfilter_cython.pyx:272-306);
            "none" = identity (the aminoacid path, pyx:114-129).
+        slice_range_size: consecutive bit-slices stored per index row
+           (a "slab") — the analog of the reference's index_chunk_rows
+           (utilities.py:182-211).  At m=4e10 per-slice rows would be
+           40e9 rows; slabs keep row count = m / slice_range_size.
         chunk_bits: width of one Bloom-filter chunk in bits.  A filter
            with huge m (the reference runs m=4e10 ⇒ 5 GB packed) is
            stored as ceil(m/chunk_bits) independent chunks so no single
@@ -48,6 +52,7 @@ class SketchConfig:
     slice_buckets: int = 64
     normalize: str = "lower"
     chunk_bits: int = 1 << 20
+    slice_range_size: int = 256
 
     def __post_init__(self) -> None:
         if self.k < 1:
@@ -62,6 +67,10 @@ class SketchConfig:
             raise ValueError("chunk_bits must be a byte multiple")
         if self.slice_buckets < 1:
             raise ValueError("slice_buckets must be >= 1")
+        if self.slice_range_size < 1:
+            raise ValueError("slice_range_size must be >= 1")
+        if self.chunk_bits % self.slice_range_size != 0:
+            raise ValueError("chunk_bits must be a multiple of slice_range_size")
 
     # -- derived geometry ------------------------------------------------
     @property

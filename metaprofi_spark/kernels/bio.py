@@ -1,0 +1,58 @@
+"""Sequence-domain kernels kept for reference parity: reverse
+complement, canonical k-mer, six-frame translation (T2/T3/T4 of
+SURVEY.md §2.3).  The webtext graft normally uses normalize="lower"
+instead of canonicalization, but these make the engine a drop-in for
+the reference's nucleotide/aminoacid workloads.
+"""
+
+from __future__ import annotations
+
+# IUPAC complement map (utilities_cython.pyx:11-32 semantics)
+_COMP = str.maketrans(
+    "ACGTUNRYSWKMBDHVacgtunryswkmbdhv",
+    "TGCAANYRSWMKVHDBtgcaanyrswmkvhdb",
+)
+
+# standard codon table; stop='_', unknown/ambiguous='X'
+# (translate_fasta.py:7-24 semantics)
+_CODONS = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L", "CTT": "L", "CTC": "L",
+    "CTA": "L", "CTG": "L", "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V", "TCT": "S", "TCC": "S",
+    "TCA": "S", "TCG": "S", "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T", "GCT": "A", "GCC": "A",
+    "GCA": "A", "GCG": "A", "TAT": "Y", "TAC": "Y", "TAA": "_", "TAG": "_",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q", "AAT": "N", "AAC": "N",
+    "AAA": "K", "AAG": "K", "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "_", "TGG": "W", "CGT": "R", "CGC": "R",
+    "CGA": "R", "CGG": "R", "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+
+
+def revcomp(seq: str) -> str:
+    """Reverse complement (utilities.py:641-652)."""
+    return seq.translate(_COMP)[::-1]
+
+
+def canonical_kmer(kmer: str) -> str:
+    """Lexicographic min of k-mer and its reverse complement
+    (bloomfilter_cython.pyx:272-306)."""
+    return min(kmer, revcomp(kmer))
+
+
+def translate(seq: str) -> str:
+    return "".join(
+        _CODONS.get(seq[i : i + 3], "X") for i in range(0, len(seq) - 2, 3)
+    )
+
+
+def six_frame_translation(seq: str, min_len: int = 1) -> list[str]:
+    """3 forward + 3 reverse-complement reading frames, frames shorter
+    than min_len dropped (translate_fasta.py:28-99)."""
+    seq = seq.upper()
+    rc = revcomp(seq)
+    frames = [translate(seq[i:]) for i in range(3)] + [
+        translate(rc[i:]) for i in range(3)
+    ]
+    return [f for f in frames if len(f) >= min_len]

@@ -42,6 +42,56 @@ def unpack_bits(packed: np.ndarray | bytes, n_bits: int) -> np.ndarray:
     return np.unpackbits(arr, count=n_bits, bitorder="little")
 
 
+_SWAR = (
+    (np.uint64(7), np.uint64(0x00AA00AA00AA00AA)),
+    (np.uint64(14), np.uint64(0x0000CCCC0000CCCC)),
+    (np.uint64(28), np.uint64(0x00000000F0F0F0F0)),
+)
+
+
+def bit_matrix_transpose(mats: np.ndarray, out_width_bytes: int | None = None) -> np.ndarray:
+    """Transpose a packed bit matrix WITHOUT unpacking.
+
+    mats: (n_rows, W) uint8, little-endian bit order (bit b of column
+    byte c = logical column 8c+b).  Returns (W*8, ceil(n_rows/8)) uint8
+    where row s holds the bits of original column s across all rows —
+    the bit-slice extraction at the heart of the index build
+    (/root/reference/metaprofi/lib/build_index_zarr.py:433-463, done
+    there with unpackbits in shared memory).
+
+    Implementation: pack each (8-row x 8-bit) block into one uint64 and
+    apply the classic SWAR 8x8 bit-transpose (3 masked swap passes) to
+    every block at once — ~2x faster than unpackbits/packbits and never
+    materializes the n*W*8 unpacked intermediate.
+    """
+    n, W = mats.shape
+    pad = (-n) % 8
+    if pad:
+        mats = np.vstack([mats, np.zeros((pad, W), dtype=np.uint8)])
+        n += pad
+    g = n // 8
+    # (g, 8 rows, W) -> (g, W, 8) so each block's 8 row-bytes are the 8
+    # bytes of one uint64 (row u = byte u, little-endian)
+    x = (
+        np.ascontiguousarray(mats.reshape(g, 8, W).transpose(0, 2, 1))
+        .reshape(g, W * 8)
+        .view("<u8")
+    )
+    for s, m in _SWAR:
+        t = (x ^ (x >> s)) & m
+        x = x ^ t ^ (t << s)
+    # byte t of block (g, c) = output row 8c+t, column-group g
+    out = (
+        np.ascontiguousarray(x.view(np.uint8).reshape(g, W, 8).transpose(1, 2, 0))
+        .reshape(W * 8, g)
+    )
+    if out_width_bytes is not None and out_width_bytes != g:
+        full = np.zeros((W * 8, out_width_bytes), dtype=np.uint8)
+        full[:, : min(g, out_width_bytes)] = out[:, :out_width_bytes]
+        return full
+    return out
+
+
 def _stack(blobs, nbytes: int) -> np.ndarray:
     out = np.zeros((len(blobs), nbytes), dtype=np.uint8)
     for i, b in enumerate(blobs):

@@ -56,10 +56,11 @@ def mmh2_64_windows(windows: np.ndarray, seeds: np.ndarray | list[int]) -> np.nd
                 h *= _M
 
         if tail_size:
-            tail = windows[:, nblocks * 8 :].astype(np.uint64)
-            kt = np.zeros(n, dtype=np.uint64)
-            for j in range(tail_size):
-                kt |= tail[:, j] << np.uint64(8 * j)
+            # zero-pad the tail bytes to 8 and view as one LE uint64 —
+            # a single copy instead of per-byte shift/or passes
+            tailbuf = np.zeros((n, 8), dtype=np.uint8)
+            tailbuf[:, :tail_size] = windows[:, nblocks * 8 :]
+            kt = tailbuf.view("<u8")[:, 0]
             h ^= kt[:, None]
             h *= _M
 

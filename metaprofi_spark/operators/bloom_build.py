@@ -84,18 +84,35 @@ def build_matrix(
             ids = pdf[id_col].to_numpy()
             flat_doc, chunk, offset = _positions(pdf[text_col].tolist(), cfg)
             p, s, order, starts, ends = _runs(flat_doc, chunk)
+            if len(starts) == 0:
+                yield pd.DataFrame(
+                    {
+                        "sample_idx": np.empty(0, np.int64),
+                        "chunk_id": np.empty(0, np.int32),
+                        "bf": [],
+                    }
+                )
+                continue
             off_sorted = offset[order]
-            out_id = np.empty(len(starts), dtype=np.int64)
-            out_chunk = np.empty(len(starts), dtype=np.int32)
-            out_bf = []
-            for r, (b, e) in enumerate(zip(starts, ends)):
-                buf = np.zeros(chunk_bytes, dtype=np.uint8)
-                set_bits(buf, off_sorted[b:e])
-                out_id[r] = ids[p[b]]
-                out_chunk[r] = s[b]
-                out_bf.append(buf.tobytes())
+            n_runs = len(starts)
+            out_id = ids[p[starts]].astype(np.int64)
+            out_chunk = s[starts].astype(np.int32)
+            # one buffer arena + ONE scatter for the whole batch: bit j
+            # of run r lives at flat position r*chunk_bits + offset
+            arena = np.zeros(n_runs * chunk_bytes, dtype=np.uint8)
+            run_of = np.repeat(
+                np.arange(n_runs, dtype=np.uint64),
+                (ends - starts).astype(np.int64),
+            )
+            flat_pos = run_of * np.uint64(chunk_bytes * 8) + off_sorted
+            set_bits(arena, flat_pos)
+            arena = arena.reshape(n_runs, chunk_bytes)
             yield pd.DataFrame(
-                {"sample_idx": out_id, "chunk_id": out_chunk, "bf": out_bf}
+                {
+                    "sample_idx": out_id,
+                    "chunk_id": out_chunk,
+                    "bf": [arena[r].tobytes() for r in range(n_runs)],
+                }
             )
 
     # early prune (F3/F4 analog, zarrstore.py:137-145): rows that cannot

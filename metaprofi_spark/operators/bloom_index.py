@@ -31,12 +31,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from metaprofi_spark.config import SketchConfig
+from metaprofi_spark.kernels.bits import bit_matrix_transpose
 
-INDEX_SCHEMA = "slice_id long, sample_bucket int, bits binary"
+INDEX_SCHEMA = "range_id long, sample_bucket int, bits binary"
 
 
 def slice_bucket_size(cfg: SketchConfig) -> int:
-    return (cfg.m_padded + cfg.slice_buckets - 1) // cfg.slice_buckets
+    """Slices per partition bucket, rounded up so every slab (range)
+    falls entirely inside one bucket."""
+    raw = (cfg.m_padded + cfg.slice_buckets - 1) // cfg.slice_buckets
+    r = cfg.slice_range_size
+    return (raw + r - 1) // r * r
 
 
 def plan_index_geometry(
@@ -58,46 +63,57 @@ def build_index(
     sample_bucket_size: int | None = None,
     slice_block: int = 1 << 13,
 ) -> DataFrame:
-    """Transpose the filter matrix into bit-slices.
+    """Transpose the filter matrix into slice-range slabs.
 
     ``bf_df`` is the output of ``build_matrix`` (sample_idx, chunk_id, bf).
-    Returns DataFrame(slice_id, sample_bucket, slice_bucket, bits) with
-    all-zero slices omitted.
+    Returns DataFrame(range_id, sample_bucket, slice_bucket, bits) where
+    ``bits`` is a slab of ``slice_range_size`` consecutive slices
+    (row-major: slice, then packed sample bytes of width bucket/8).
+    All-zero slabs are omitted (sparse).
     """
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     width_bytes = (bucket + 7) // 8
     chunk_bits = cfg.chunk_bits
     chunk_bytes = cfg.chunk_bytes
+    rsize = cfg.slice_range_size
     sb_size = slice_bucket_size(cfg)
+    # block must hold whole slabs
+    slice_block = max(slice_block // rsize, 1) * rsize
 
     def transpose(key, pdf):
         chunk_id, sbucket = int(key[0]), int(key[1])
+        n = len(pdf)
         local = (pdf["sample_idx"].to_numpy() - sbucket * bucket).astype(np.int64)
-        mats = np.zeros((len(pdf), chunk_bytes), dtype=np.uint8)
+        contiguous = bool((local == np.arange(n)).all())
+        mats = np.zeros((n, chunk_bytes), dtype=np.uint8)
         for i, b in enumerate(pdf["bf"]):
             a = np.frombuffer(b, dtype=np.uint8)
             mats[i, : len(a)] = a
-        base = chunk_id * chunk_bits
-        out_sid: list[int] = []
+        base_range = chunk_id * chunk_bits // rsize
+        out_rid: list[int] = []
         out_bits: list[bytes] = []
-        # process the chunk in slice blocks so unpacked memory stays
-        # ~ len(pdf) × slice_block bytes regardless of chunk width
         for blk in range(0, chunk_bits, slice_block):
             bend = min(blk + slice_block, chunk_bits)
+            nbits = bend - blk
             sub = mats[:, blk // 8 : (bend + 7) // 8]
-            bits = np.unpackbits(sub, axis=1, bitorder="little")[:, : bend - blk]
-            nz = np.nonzero(bits.any(axis=0))[0]
+            if contiguous:
+                # dense bucket: SWAR packed-bit transpose, never unpacks
+                packed = bit_matrix_transpose(sub, out_width_bytes=width_bytes)[:nbits]
+            else:
+                bits = np.unpackbits(sub, axis=1, bitorder="little")[:, :nbits]
+                colmat = np.zeros((nbits, bucket), dtype=np.uint8)
+                colmat[:, local] = bits.T
+                packed = np.packbits(colmat, axis=1, bitorder="little")
+            slabs = packed.reshape(nbits // rsize, rsize * width_bytes)
+            nz = np.nonzero(slabs.any(axis=1))[0]
             if len(nz) == 0:
                 continue
-            colmat = np.zeros((len(nz), bucket), dtype=np.uint8)
-            colmat[:, local] = bits[:, nz].T
-            packed = np.packbits(colmat, axis=1, bitorder="little")
-            out_sid.extend((base + blk + nz).tolist())
-            out_bits.extend(packed[r].tobytes() for r in range(len(nz)))
+            out_rid.extend((base_range + blk // rsize + nz).tolist())
+            out_bits.extend(slabs[r].tobytes() for r in nz)
         return pd.DataFrame(
             {
-                "slice_id": pd.array(out_sid, dtype="int64"),
-                "sample_bucket": pd.array([sbucket] * len(out_sid), dtype="int32"),
+                "range_id": pd.array(out_rid, dtype="int64"),
+                "sample_bucket": pd.array([sbucket] * len(out_rid), dtype="int32"),
                 "bits": out_bits,
             }
         )
@@ -110,7 +126,8 @@ def build_index(
         transpose, INDEX_SCHEMA
     )
     return idx.withColumn(
-        "slice_bucket", (F.col("slice_id") / F.lit(sb_size)).cast("int")
+        "slice_bucket",
+        (F.col("range_id") * F.lit(rsize) / F.lit(sb_size)).cast("int"),
     )
 
 

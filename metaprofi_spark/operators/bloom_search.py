@@ -40,6 +40,48 @@ HASH_SCHEMA = "query_id string, kgram_idx int, weight int, n_slices int, slice_i
 RESULT_SCHEMA = "query_id string, sample_idx long, kgram_hits long, n_kgrams long, pct double"
 
 
+def format_results(rows, threshold: int) -> str:
+    """S9 results sink: the reference's report layout
+    (search_index.py:614-660) — one block per query, exact matches as a
+    bare sample list, thresholded matches annotated with counts."""
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"] if isinstance(r, dict) else r.query_id, []).append(r)
+    out = []
+    for qid in sorted(by_q):
+        out.append(f"Query: {qid}")
+        for r in sorted(by_q[qid], key=lambda x: x.sample_idx):
+            if threshold == 100:
+                out.append(f"\t{r.sample_idx}")
+            else:
+                out.append(
+                    f"\t{r.sample_idx}, Number of kmers found: "
+                    f"{r.kgram_hits} ({r.pct:.2f}%)"
+                )
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def parse_results(text: str) -> dict[str, list[dict]]:
+    """S10 results parser (utilities.py:655-733): report -> dict."""
+    out: dict[str, list[dict]] = {}
+    current = None
+    for line in text.splitlines():
+        if line.startswith("Query: "):
+            current = line[len("Query: "):]
+            out[current] = []
+        elif line.startswith("\t") and current is not None:
+            body = line.strip()
+            if ", Number of kmers found: " in body:
+                sid, rest = body.split(", Number of kmers found: ")
+                hits, pct = rest.rstrip(")").split(" (")
+                out[current].append(
+                    {"sample": int(sid), "hits": int(hits), "pct": float(pct.rstrip('%'))}
+                )
+            else:
+                out[current].append({"sample": int(body)})
+    return out
+
+
 def hash_queries(
     queries: list[tuple[str, str]], cfg: SketchConfig
 ) -> tuple[pd.DataFrame, dict[str, int]]:
@@ -113,6 +155,9 @@ def search(
     if len(qpdf) == 0:
         return empty
 
+    rsize = cfg.slice_range_size
+    width_bytes = (bucket + 7) // 8
+    qpdf = qpdf.assign(range_id=(qpdf["slice_id"] // rsize).astype("int64"))
     hashes_df = spark.createDataFrame(qpdf)
     # partition pruning: touch only the slice_buckets the query needs
     # (the binning optimization, search_index.py:578-592, for free via
@@ -120,17 +165,24 @@ def search(
     buckets = sorted({int(s) // sb_size for s in qpdf["slice_id"]})
     pruned = index_df.filter(F.col("slice_bucket").isin(buckets))
 
-    joined = pruned.join(F.broadcast(hashes_df), "slice_id")
+    # J1: each needed slab is fetched once per (query k-gram) use; the
+    # hash side is tiny => broadcast hash join, no shuffle of the index
+    joined = pruned.join(F.broadcast(hashes_df), "range_id")
 
     and_schema = "query_id string, kgram_idx int, sample_bucket int, weight int, bits binary"
 
     def and_slices(key, pdf):
         n_slices = int(pdf["n_slices"].iat[0])
-        if len(pdf) < n_slices:  # some slice missing => all-zero => no hit
+        if len(pdf) < n_slices:  # some slab missing => all-zero => no hit
             return pd.DataFrame(
                 columns=["query_id", "kgram_idx", "sample_bucket", "weight", "bits"]
             )
-        blob = and_reduce(list(pdf["bits"]), (bucket + 7) // 8)
+        # extract each required slice row from its slab
+        rows = []
+        for slab, sid in zip(pdf["bits"], pdf["slice_id"]):
+            off = int(sid) % rsize
+            rows.append(slab[off * width_bytes : (off + 1) * width_bytes])
+        blob = and_reduce(rows, width_bytes)
         return pd.DataFrame(
             {
                 "query_id": [key[0]],

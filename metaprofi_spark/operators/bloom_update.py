@@ -1,0 +1,98 @@
+"""Incremental index append — A4 of SURVEY.md §2.4.
+
+The reference extends every stored bit-slice with the new samples' bits
+(decompress, concatenate, recompress — zstd_compress_cat,
+/root/reference/metaprofi/lib/utilities.py:95-107, applied at
+build_index_zarr.py:485-496) and bumps ``update_count`` metadata
+(build_index_zarr.py:286-301).
+
+Spark-first replacement: sample growth is BUCKET-ALIGNED.  Each update
+batch starts at the next sample_bucket boundary, so new slabs live in
+new (range_id, sample_bucket) cells and the update is a pure UNION —
+no rewrite of existing slabs, which is exactly an append-only snapshot
+(Iceberg-style).  The padding columns are zero bits that cost nothing
+(slabs are fixed-width already, zeros compress away in Parquet).
+Config equality is enforced before appending (the F8 guard,
+build_index_zarr.py:262-283).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from metaprofi_spark.config import SketchConfig
+from metaprofi_spark.operators.bloom_build import build_matrix
+from metaprofi_spark.operators.bloom_index import (
+    build_index,
+    load_index,
+    plan_index_geometry,
+)
+
+
+def next_sample_base(n_samples: int, bucket: int) -> int:
+    """First sample_idx of the next update batch (bucket-aligned)."""
+    return (n_samples + bucket - 1) // bucket * bucket
+
+
+def update_index(
+    old_index_df: DataFrame,
+    new_docs: DataFrame,
+    cfg: SketchConfig,
+    old_n_samples: int,
+    sample_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Append new documents to an existing index.
+
+    ``new_docs[id_col]`` must be dense 0..n_new-1 (renumbered here to
+    the padded global range).  Returns (index_df, new_samples_dim_df,
+    new_total_samples); ``new_samples_dim_df`` maps the batch's global
+    sample_idx back to the caller's ids (J2 dim-table growth, the
+    metadata append of zarrstore.py:243-272).
+    """
+    bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    base = next_sample_base(old_n_samples, bucket)
+
+    shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
+    n_new = shifted.count()
+    dim = shifted.select(
+        F.col("__sid").alias("sample_idx"), F.col(id_col).alias("sample_id")
+    )
+    bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
+    new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
+    return old_index_df.unionByName(new_slabs), dim, base + n_new
+
+
+def update_store(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    cfg: SketchConfig,
+    sample_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Persisted-store variant: append new slabs as new parquet files in
+    the same partitioned layout and bump the manifest (update_count,
+    n_samples) — a snapshot append, resumable and atomic per partition."""
+    old_df, stored_cfg, manifest = load_index(spark, path, cfg)
+    bucket = manifest.get(
+        "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    )
+    base = next_sample_base(manifest["n_samples"], bucket)
+    shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
+    n_new = shifted.count()
+    bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
+    new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
+    new_slabs.write.mode("append").partitionBy("slice_bucket").parquet(
+        os.path.join(path, "index")
+    )
+    manifest["n_samples"] = base + n_new
+    manifest["update_count"] = manifest.get("update_count", 0) + 1
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -45,13 +45,18 @@ def test_matrix_shape(spark, docs):
 
 
 def test_index_sparse_and_bucketed(index):
+    from metaprofi_spark.operators.bloom_index import slice_bucket_size
+
     rows = index.limit(200).collect()
     assert rows
-    sb_size = (CFG.m_padded + CFG.slice_buckets - 1) // CFG.slice_buckets
+    sb_size = slice_bucket_size(CFG)
+    rsize = CFG.slice_range_size
+    width = (BUCKET + 7) // 8
     for r in rows:
-        assert 0 <= r.slice_id < CFG.m_padded
-        assert r.slice_bucket == r.slice_id // sb_size
-        # sparse: stored slices are nonzero
+        assert 0 <= r.range_id * rsize < CFG.m_padded
+        assert r.slice_bucket == (r.range_id * rsize) // sb_size
+        assert len(r.bits) == rsize * width  # fixed-size slab
+        # sparse: stored slabs are nonzero
         assert any(b for b in r.bits)
 
 

@@ -146,3 +146,19 @@ def test_bloom_merge_associativity():
 
     merged = or_reduce([build(texts_a).tobytes(), build(texts_b).tobytes()], m // 8)
     assert merged == build(texts_a + texts_b).tobytes()
+
+
+def test_bit_matrix_transpose_vs_naive():
+    from metaprofi_spark.kernels.bits import bit_matrix_transpose
+
+    for n, w in [(8, 2), (16, 3), (24, 8), (2048, 64), (12, 4)]:  # incl. pad case
+        mats = rng.integers(0, 256, (n, w), dtype=np.uint8)
+        naive = np.packbits(
+            np.unpackbits(mats, axis=1, bitorder="little").T, axis=1, bitorder="little"
+        )
+        got = bit_matrix_transpose(mats)
+        assert got.shape == naive.shape and (got == naive).all(), (n, w)
+        # width padding
+        wide = bit_matrix_transpose(mats, out_width_bytes=naive.shape[1] + 2)
+        assert (wide[:, : naive.shape[1]] == naive).all()
+        assert not wide[:, naive.shape[1]:].any()

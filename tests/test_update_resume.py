@@ -1,0 +1,181 @@
+"""Incremental append, checkpoint-resume, streaming, sources, report IO."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaprofi_spark import SketchConfig
+from metaprofi_spark.operators import build_index, build_matrix, persist_index, search
+from metaprofi_spark.operators.bloom_search import format_results, parse_results
+from metaprofi_spark.operators.bloom_update import update_index, update_store
+from metaprofi_spark.plans.lineage import (
+    build_index_resumable,
+    read_lineage,
+    read_resumable_index,
+)
+from tests.conftest import SF_DIR
+
+CFG = SketchConfig(k=8, h=2, m=1 << 16, chunk_bits=1 << 14, slice_buckets=8)
+BUCKET = 256  # divides 500-doc corpus into 2 buckets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _results_set(spark, idx, queries, t=100):
+    res = search(spark, idx, queries, CFG, t, BUCKET)
+    return {(r.query_id, r.sample_idx, r.kgram_hits) for r in res.collect()}
+
+
+def test_update_index_equals_full_build(spark, docs):
+    """Aligned append: build on first 256 docs + update with the rest
+    must answer queries identically to a one-shot full build."""
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = (
+        docs.filter(F.col("doc_id") >= BUCKET)
+        .withColumn("doc_id", F.col("doc_id") - BUCKET)  # dense 0..n-1
+    )
+    idx1 = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    idx2, dim, n_total = update_index(idx1, rest, CFG, BUCKET, BUCKET)
+    assert n_total == docs.count()
+
+    full = build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").limit(3).collect()
+    queries = [(f"q{r.doc_id}", r.text[: 5 * CFG.k]) for r in probe]
+    assert _results_set(spark, idx2, queries) == _results_set(spark, full, queries)
+    # dim maps appended global idx back to original ids
+    m = {r.sample_idx: r.sample_id for r in dim.collect()}
+    assert m[BUCKET] == 0 and len(m) == docs.count() - BUCKET
+
+
+def test_update_store_bumps_manifest(spark, docs, tmp_path):
+    path = str(tmp_path / "store")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    manifest = update_store(spark, path, rest, CFG, BUCKET)
+    assert manifest["update_count"] == 1
+    assert manifest["n_samples"] == docs.count()
+    # config mismatch refused
+    with pytest.raises(ValueError):
+        update_store(spark, path, rest, SketchConfig(k=9), BUCKET)
+
+
+def test_resumable_build_recovers_from_crash(spark, docs, tmp_path):
+    path = str(tmp_path / "resumable")
+    bf = build_matrix(docs, CFG).cache()
+    bf.count()
+    # crash after 1 of 4 chunks
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index_resumable(
+            spark, bf, CFG, path, sample_bucket_size=BUCKET, fail_after_chunks=1
+        )
+    partial = read_lineage(path)
+    assert len(partial["completed"]) == 1
+    # resume: completes only the remaining chunks
+    lineage = build_index_resumable(spark, bf, CFG, path, sample_bucket_size=BUCKET)
+    assert len(lineage["completed"]) == CFG.n_chunks
+    resumed = read_resumable_index(spark, path)
+    oneshot = build_index(bf, CFG, sample_bucket_size=BUCKET)
+    a = {(r.range_id, r.sample_bucket, bytes(r.bits)) for r in resumed.collect()}
+    b = {(r.range_id, r.sample_bucket, bytes(r.bits)) for r in oneshot.collect()}
+    assert a == b
+    bf.unpersist()
+
+
+def test_streaming_append(spark, docs, tmp_path):
+    from metaprofi_spark.streaming.append import stream_append
+
+    src_dir = str(tmp_path / "incoming")
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    # store seeded with the first bucket
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, store, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    # stream in the rest as one file
+    docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    ).write.parquet(src_dir + "/batch1", mode="overwrite")
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src_dir + "/*")
+    )
+    q = stream_append(stream, store, CFG, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    import json
+
+    with open(os.path.join(store, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_samples"] == docs.count()
+    assert manifest["update_count"] == 1
+
+
+def test_manifest_scan(spark, tmp_path):
+    from metaprofi_spark.sources.manifest import parse_manifest, sniff_format
+
+    p = tmp_path / "input.txt"
+    p.write_text(
+        "# comment\n\nsampleA: /x/a1.fa; /x/a2.fa\nsampleB: /x/b.fq\n"
+    )
+    rows = {r.sample_id: r.paths for r in parse_manifest(spark, str(p)).collect()}
+    assert rows == {"sampleA": ["/x/a1.fa", "/x/a2.fa"], "sampleB": ["/x/b.fq"]}
+    bad = tmp_path / "bad.txt"
+    bad.write_text("no colon here\n")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_manifest(spark, str(bad))
+    assert sniff_format(b"\x1f\x8bxx") == "gzip"
+    assert sniff_format(b">seq1") == "fasta"
+    assert sniff_format(b"@read1") == "fastq"
+
+
+def test_fasta_fastq_sources(spark, tmp_path):
+    from metaprofi_spark.sources.fasta import read_fasta, read_fastq
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(">s1 desc\nACGT\nacgt\n>s2\nTTTT\n")
+    rows = {r.name: r.seq for r in read_fasta(spark, str(fa)).collect()}
+    assert rows == {"s1 desc": "ACGTACGT", "s2": "TTTT"}
+    fq = tmp_path / "t.fq"
+    fq.write_text("@r1\nacgt\n+\nIIII\n@r2\nGGGG\n+\nJJJJ\n")
+    rows = {r.name: (r.seq, r.qual) for r in read_fastq(spark, str(fq)).collect()}
+    assert rows == {"r1": ("ACGT", "IIII"), "r2": ("GGGG", "JJJJ")}
+
+
+def test_bio_kernels():
+    from metaprofi_spark.kernels.bio import (
+        canonical_kmer,
+        revcomp,
+        six_frame_translation,
+    )
+
+    assert revcomp("ACGT") == "ACGT"
+    assert revcomp("AACC") == "GGTT"
+    assert canonical_kmer("TTGG") == "CCAA"
+    frames = six_frame_translation("ATGGCCTAA")
+    assert "MA_" in frames and len(frames) == 6
+
+
+def test_results_roundtrip():
+    class R:  # lightweight row
+        def __init__(self, q, s, h, n, p):
+            self.query_id, self.sample_idx, self.kgram_hits = q, s, h
+            self.n_kgrams, self.pct = n, p
+
+        def __getitem__(self, k):
+            return getattr(self, k)
+
+    rows = [R("q1", 3, 10, 10, 100.0), R("q1", 7, 10, 10, 100.0), R("q2", 1, 10, 10, 100.0)]
+    text = format_results(rows, 100)
+    parsed = parse_results(text)
+    assert parsed == {"q1": [{"sample": 3}, {"sample": 7}], "q2": [{"sample": 1}]}
+    text40 = format_results([R("q1", 3, 4, 10, 40.0)], 40)
+    parsed40 = parse_results(text40)
+    assert parsed40["q1"][0] == {"sample": 3, "hits": 4, "pct": 40.0}
