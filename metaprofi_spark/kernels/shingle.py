@@ -64,6 +64,24 @@ def shingle_windows(
     return doc_idx, view[starts]
 
 
+_M = np.uint64(0xC6A4A7935BD1E995)
+_R = np.uint64(47)
+
+
+def _window_starts(lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    counts = np.maximum(lens - k + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    return doc_idx, offsets[doc_idx] + within
+
+
 def shingle_positions(
     texts: Sequence[str | None],
     k: int,
@@ -73,13 +91,48 @@ def shingle_positions(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shingle + hash a batch: the fused T1→T5→T7 kernel.
 
+    Never materializes the (W, k) window matrix: each window's 8-byte
+    blocks are read as unaligned little-endian uint64 gathers straight
+    from the concatenated text buffer (identical hash semantics to
+    mmh2_64_windows — parity-tested against it).
+
     Returns:
         doc_idx: (W,) int64 — source doc of each k-gram
         positions: (W, h) uint64 — Bloom bit positions (hash % m,
             bloomfilter_cython.pyx:107-111)
     """
-    doc_idx, windows = shingle_windows(texts, k, normalize)
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    joined, lens = _encode_batch(texts, k, normalize)
+    doc_idx, starts = _window_starts(lens, k)
     if len(doc_idx) == 0:
         return doc_idx, np.empty((0, len(seeds)), dtype=np.uint64)
-    hashes = mmh2_64_windows(windows, np.asarray(seeds, dtype=np.uint64))
-    return doc_idx, hashes % np.uint64(m)
+    # zero-padded buffer + unaligned uint64 view (stride = 1 byte)
+    buf = np.empty(len(joined) + 8, dtype=np.uint8)
+    buf[: len(joined)] = joined
+    buf[len(joined):] = 0
+    u64 = np.ndarray(
+        buffer=buf.data, dtype="<u8", shape=(len(buf) - 7,), strides=(1,)
+    )
+    n = len(starts)
+    nblocks = k // 8
+    tail_size = k & 7
+    with np.errstate(over="ignore"):
+        init = seeds ^ (_M * np.uint64(k))
+        h = np.broadcast_to(init, (n, len(seeds))).copy()
+        for b in range(nblocks):
+            kb = u64[starts + 8 * b]
+            kb *= _M
+            kb ^= kb >> _R
+            kb *= _M
+            h ^= kb[:, None]
+            h *= _M
+        if tail_size:
+            mask = np.uint64((1 << (8 * tail_size)) - 1)
+            kt = u64[starts + 8 * nblocks] & mask
+            h ^= kt[:, None]
+            h *= _M
+        h ^= h >> _R
+        h *= _M
+        h ^= h >> _R
+        h %= np.uint64(m)
+    return doc_idx, h

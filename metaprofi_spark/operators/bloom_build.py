@@ -79,12 +79,42 @@ def build_matrix(
     """
     chunk_bytes = cfg.chunk_bytes
 
+    single_chunk = cfg.n_chunks == 1
+    h = len(cfg.seeds)
+
     def fn(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            flat_doc, chunk, offset = _positions(pdf[text_col].tolist(), cfg)
-            p, s, order, starts, ends = _runs(flat_doc, chunk)
-            if len(starts) == 0:
+            texts = pdf[text_col].tolist()
+            if single_chunk:
+                # fast path: no chunk dimension => windows are already
+                # grouped by doc, run bounds come from per-doc counts —
+                # no lexsort at all
+                doc_idx, pos = shingle_positions(
+                    texts, cfg.k, cfg.seeds, cfg.m_padded, cfg.normalize
+                )
+                counts = np.bincount(doc_idx, minlength=len(texts)) * h
+                nzdocs = np.nonzero(counts)[0]
+                run_ends = np.cumsum(counts[nzdocs])
+                run_starts = run_ends - counts[nzdocs]
+                off_sorted = pos.reshape(-1)
+                out_id = ids[nzdocs].astype(np.int64)
+                out_chunk = np.zeros(len(nzdocs), dtype=np.int32)
+            else:
+                flat_doc, chunk, offset = _positions(texts, cfg)
+                p, s, order, run_starts, run_ends = _runs(flat_doc, chunk)
+                if len(run_starts) == 0:
+                    run_starts = np.empty(0, np.int64)
+                    run_ends = run_starts
+                    out_id = np.empty(0, np.int64)
+                    out_chunk = np.empty(0, np.int32)
+                    off_sorted = np.empty(0, np.uint64)
+                else:
+                    off_sorted = offset[order]
+                    out_id = ids[p[run_starts]].astype(np.int64)
+                    out_chunk = s[run_starts].astype(np.int32)
+            n_runs = len(run_starts)
+            if n_runs == 0:
                 yield pd.DataFrame(
                     {
                         "sample_idx": np.empty(0, np.int64),
@@ -93,27 +123,23 @@ def build_matrix(
                     }
                 )
                 continue
-            off_sorted = offset[order]
-            n_runs = len(starts)
-            out_id = ids[p[starts]].astype(np.int64)
-            out_chunk = s[starts].astype(np.int32)
-            # one buffer arena + ONE scatter for the whole batch: bit j
-            # of run r lives at flat position r*chunk_bits + offset
-            arena = np.zeros(n_runs * chunk_bytes, dtype=np.uint8)
-            run_of = np.repeat(
-                np.arange(n_runs, dtype=np.uint64),
-                (ends - starts).astype(np.int64),
-            )
-            flat_pos = run_of * np.uint64(chunk_bytes * 8) + off_sorted
-            set_bits(arena, flat_pos)
-            arena = arena.reshape(n_runs, chunk_bytes)
-            yield pd.DataFrame(
-                {
-                    "sample_idx": out_id,
-                    "chunk_id": out_chunk,
-                    "bf": [arena[r].tobytes() for r in range(n_runs)],
-                }
-            )
+            # per-run scatter into small cache-resident buffers (6x
+            # faster than one flat scatter across a giant arena)
+            arena = np.zeros((n_runs, chunk_bytes), dtype=np.uint8)
+            for r in range(n_runs):
+                set_bits(arena[r], off_sorted[run_starts[r] : run_ends[r]])
+            # emit in bounded slices: wide filters would otherwise form
+            # one giant Arrow record batch
+            step = max(1, (64 << 20) // max(chunk_bytes, 1))
+            for lo in range(0, n_runs, step):
+                hi = min(lo + step, n_runs)
+                yield pd.DataFrame(
+                    {
+                        "sample_idx": out_id[lo:hi],
+                        "chunk_id": out_chunk[lo:hi],
+                        "bf": [arena[r].tobytes() for r in range(lo, hi)],
+                    }
+                )
 
     # early prune (F3/F4 analog, zarrstore.py:137-145): rows that cannot
     # produce a window.  octet_length of the normalized text is the byte

@@ -135,6 +135,49 @@ HAVING count(*) * 100 >= {THRESHOLD_T} * {n}
 """
 
 
+LANG_PROBES = [("table part", "en"), ("spark order", "de"), ("window spark", "zh")]
+
+
+def bloom_lang_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star query: does k-gram X appear in documents matching
+    lang=Y?  Index candidates (zero false negatives) are scoped by a
+    broadcast join against the lang dimension, then exact-verified.
+    The lang filter prunes before the verify join, mirroring the
+    reference's sample-id scoping (search_index.py:549-553).
+    """
+    docs = _docs(spark, sf_dir)
+    bf = build_matrix(docs, QUERY_CFG, id_col="doc_id", text_col="text")
+    idx = build_index(bf, QUERY_CFG, sample_bucket_size=_BUCKET)
+    cand = search(
+        spark, idx, [(f"{p}||{lang}", p) for p, lang in LANG_PROBES],
+        QUERY_CFG, threshold=100, sample_bucket_size=_BUCKET,
+    )
+    parts = F.split(F.col("query_id"), "[|][|]")
+    cand2 = cand.select(
+        parts.getItem(0).alias("probe"),
+        parts.getItem(1).alias("want_lang"),
+        "sample_idx",
+    )
+    return (
+        cand2.join(docs, cand2.sample_idx == docs.doc_id)
+        .filter(F.col("lang") == F.col("want_lang"))
+        .filter(F.instr(F.lower(F.col("text")), F.lower(F.col("probe"))) > 0)
+        .select("probe", F.col("want_lang").alias("lang"), "doc_id")
+    )
+
+
+def _lang_probes_sql() -> str:
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "', '" + lang + "')" for p, lang in LANG_PROBES
+    )
+    return f"""
+SELECT q.probe AS probe, q.lang AS lang, d.doc_id AS doc_id
+FROM (VALUES {vals}) q(probe, lang)
+JOIN documents d
+  ON d.lang = q.lang AND instr(lower(d.text), lower(q.probe)) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # sketch aggregations (A1 siblings) + their exact SQL-checkable twins
 # ---------------------------------------------------------------------------
@@ -421,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": corpus_summary,
         "text_stats": text_stats,
         "quality_scores": quality_scores,
+        "bloom_lang_scoped_search": bloom_lang_scoped_search,
         "fingerprint_groups": fingerprint_groups,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
@@ -442,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "doclen_quantiles": DOCLEN_QUANTILES_SQL,
         "corpus_summary": CORPUS_SUMMARY_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "bloom_lang_scoped_search": _lang_probes_sql(),
         "fingerprint_groups": FINGERPRINT_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
