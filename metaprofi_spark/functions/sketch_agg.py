@@ -203,6 +203,32 @@ def kll_agg(
     )
 
 
+def tdigest_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, compression: float = 100.0
+) -> DataFrame:
+    """Per-group t-digest: (group..., n long, sketch binary)."""
+    from metaprofi_spark.kernels.tdigest import TDigest
+
+    def new_acc():
+        return TDigest(compression)
+
+    def fold(acc: TDigest, series: pd.Series):
+        acc.add(series.dropna().to_numpy(dtype=np.float64))
+
+    def merge_blobs(blobs):
+        td = TDigest.deserialize(blobs[0])
+        for b in blobs[1:]:
+            td = td.merge(TDigest.deserialize(b))
+        return td.serialize()
+
+    def finalize(blob):
+        return {"n": int(TDigest.deserialize(blob).n)}
+
+    return _partial_final(
+        df, group_cols, value_col, new_acc, fold, merge_blobs, "n long", finalize
+    )
+
+
 def kll_quantiles(
     df: DataFrame,
     group_cols: list[str],

@@ -1,18 +1,34 @@
 from metaprofi_spark.operators.bloom_build import (
     build_matrix,
     build_matrix_grouped,
+    densify_samples,
     matrix_summary,
+    or_merge_tree,
 )
 from metaprofi_spark.operators.bloom_index import (
     build_index,
     load_index,
     persist_index,
     plan_index_geometry,
+    store_summary,
 )
-from metaprofi_spark.operators.bloom_search import hash_queries, search
+from metaprofi_spark.operators.bloom_search import (
+    format_results,
+    hash_queries,
+    parse_results,
+    search,
+)
+from metaprofi_spark.operators.bloom_update import update_index, update_store
 
 __all__ = [
     "build_matrix",
+    "densify_samples",
+    "or_merge_tree",
+    "store_summary",
+    "format_results",
+    "parse_results",
+    "update_index",
+    "update_store",
     "build_matrix_grouped",
     "matrix_summary",
     "build_index",

@@ -161,6 +161,7 @@ def build_matrix_grouped(
     cfg: SketchConfig,
     group_col: str,
     text_col: str = "text",
+    tree_fanin: int | None = None,
 ) -> DataFrame:
     """One Bloom filter per group of rows (explicit partial+final agg).
 
@@ -203,8 +204,57 @@ def build_matrix_grouped(
         )
 
     partials = df.select(group_col, text_col).mapInPandas(partial, GROUPED_SCHEMA)
+    if tree_fanin is not None:
+        return or_merge_tree(partials, cfg, fanin=tree_fanin)
     return partials.groupBy("group_key", "chunk_id").applyInPandas(
         merge, GROUPED_SCHEMA
+    )
+
+
+def or_merge_tree(
+    partials: DataFrame,
+    cfg: SketchConfig,
+    fanin: int = 64,
+    key_cols: tuple[str, str] = ("group_key", "chunk_id"),
+) -> DataFrame:
+    """Bitwise-OR TREE reduction of partial bitmaps (explicit two-level
+    merge).  The map stage already bounds partials to one per
+    (task, group, chunk); for very wide builds (10k+ tasks feeding one
+    hot group — the Zipf-host skew case) a single final merge would
+    gather every partial into one task.  The salt level caps any merge
+    task's fan-in at ``fanin`` rows; OR's associativity makes the tree
+    shape irrelevant to the result (property-tested).
+    """
+    chunk_bytes = cfg.chunk_bytes
+    k0, k1 = key_cols
+    salted_schema = f"{k0} string, {k1} int, __salt int, bf binary"
+
+    def merge_salted(key, pdf):
+        return pd.DataFrame(
+            {
+                k0: [key[0]],
+                k1: pd.array([key[1]], dtype="int32"),
+                "__salt": pd.array([key[2]], dtype="int32"),
+                "bf": [or_reduce(list(pdf["bf"]), chunk_bytes)],
+            }
+        )
+
+    def merge_final(key, pdf):
+        return pd.DataFrame(
+            {
+                k0: [key[0]],
+                k1: pd.array([key[1]], dtype="int32"),
+                "bf": [or_reduce(list(pdf["bf"]), chunk_bytes)],
+            }
+        )
+
+    level1 = (
+        partials.withColumn("__salt", F.spark_partition_id() % F.lit(fanin))
+        .groupBy(k0, k1, "__salt")
+        .applyInPandas(merge_salted, salted_schema)
+    )
+    return level1.groupBy(k0, k1).applyInPandas(
+        merge_final, f"{k0} string, {k1} int, bf binary"
     )
 
 

@@ -165,6 +165,34 @@ def persist_index(
         json.dump(manifest, f, indent=2, sort_keys=True)
 
 
+def store_summary(spark: SparkSession, path: str) -> dict:
+    """A9 analog of get_summary_from_index_store
+    (/root/reference/metaprofi/lib/utilities.py:598-638): manifest
+    metadata + logical vs stored bytes (the compression ratio the
+    reference reports via nbytes / nbytes_stored)."""
+    df, cfg, manifest = load_index(spark, path)
+    agg = df.agg(
+        F.count("*").alias("slabs"),
+        F.sum(F.octet_length("bits")).alias("logical_bytes"),
+        F.countDistinct("slice_bucket").alias("buckets"),
+    ).first()
+    stored = 0
+    idx_dir = os.path.join(path, "index")
+    for root, _dirs, files in os.walk(idx_dir):
+        stored += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    logical = int(agg["logical_bytes"] or 0)
+    return {
+        "config": json.loads(cfg.to_json()),
+        "n_samples": manifest["n_samples"],
+        "update_count": manifest.get("update_count", 0),
+        "slabs": int(agg["slabs"]),
+        "slice_buckets_present": int(agg["buckets"]),
+        "logical_bytes": logical,
+        "stored_bytes": stored,
+        "compression_ratio": round(logical / stored, 3) if stored else None,
+    }
+
+
 def load_index(
     spark: SparkSession, path: str, cfg: SketchConfig | None = None
 ) -> tuple[DataFrame, SketchConfig, dict]:

@@ -448,6 +448,84 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time/window analytics over the events table (general engine surface)
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed aggregation per event type (map-side partial agg
+    + one shuffle on (hour, type); the bread-and-butter time rollup)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-min gap
+    (lag + cumulative-sum window, the standard stateful pattern)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet ts is TIMESTAMP_NTZ: cast via TIMESTAMP for epoch seconds
+    # (gap is a difference, so the tz shift cancels)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -471,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
+        "events_hourly": events_hourly,
+        "user_sessions": user_sessions,
         "multimodal_decode": multimodal_decode,
     }
 
@@ -490,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_groups": FINGERPRINT_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "user_sessions": USER_SESSIONS_SQL,
         # no SQL oracle (estimates / probabilistic / float-tree / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
         # quality_scores, minhash_candidates, simhash_pairs, ann_lsh,

@@ -173,3 +173,44 @@ def test_kll_agg_merge_associativity(spark, docs):
     est = merged.quantile(0.5)
     true_rank = np.searchsorted(vals, est, side="right") / len(vals)
     assert abs(true_rank - 0.5) <= 2 * merged.error_bound()
+
+
+def test_tdigest_kernel_accuracy_and_merge():
+    from metaprofi_spark.kernels.tdigest import TDigest
+
+    n = 50000
+    data = rng.normal(size=n)
+    td = TDigest(100)
+    td.add(data)
+    sorted_data = np.sort(data)
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = td.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est) / n
+        # k1 scale: tight at tails, ~1% mid-range at c=100
+        tol = 0.02 if 0.1 < q < 0.9 else 0.005
+        assert abs(true_rank - q) <= tol, (q, true_rank)
+    # merge keeps accuracy; deterministic
+    a, b = TDigest(100), TDigest(100)
+    a.add(data[: n // 2]); b.add(data[n // 2 :])
+    m = a.merge(b)
+    assert m.n == n
+    est = m.quantile(0.5)
+    assert abs(np.searchsorted(sorted_data, est) / n - 0.5) <= 0.03
+    # roundtrip
+    assert TDigest.deserialize(td.serialize()).quantile(0.5) == td.quantile(0.5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TDigest(100).merge(TDigest(200))
+
+
+def test_tdigest_agg_spark(spark, docs):
+    from metaprofi_spark.functions.sketch_agg import tdigest_agg
+    from metaprofi_spark.kernels.tdigest import TDigest
+
+    res = tdigest_agg(docs.withColumn("g", F.lit(1)), ["g"], "n_chars").collect()
+    assert len(res) == 1 and res[0]["n"] == docs.count()
+    td = TDigest.deserialize(res[0]["sketch"])
+    vals = np.sort(np.array([r.n_chars for r in docs.select("n_chars").collect()]))
+    est = td.quantile(0.5)
+    true_rank = np.searchsorted(vals, est, side="right") / len(vals)
+    assert abs(true_rank - 0.5) <= 0.05

@@ -179,3 +179,25 @@ def test_results_roundtrip():
     text40 = format_results([R("q1", 3, 4, 10, 40.0)], 40)
     parsed40 = parse_results(text40)
     assert parsed40["q1"][0] == {"sample": 3, "hits": 4, "pct": 40.0}
+
+
+def test_or_merge_tree_equals_flat_merge(spark, docs):
+    from metaprofi_spark.operators import build_matrix_grouped
+
+    flat = build_matrix_grouped(docs, CFG, group_col="lang")
+    tree = build_matrix_grouped(docs, CFG, group_col="lang", tree_fanin=4)
+    a = {(r.group_key, r.chunk_id): r.bf for r in flat.collect()}
+    b = {(r.group_key, r.chunk_id): r.bf for r in tree.collect()}
+    assert a == b  # OR associativity: tree shape is irrelevant
+
+
+def test_store_summary(spark, docs, tmp_path):
+    from metaprofi_spark.operators import build_index, build_matrix, persist_index, store_summary
+
+    path = str(tmp_path / "sumstore")
+    idx = build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=docs.count(), sample_bucket_size=BUCKET)
+    s = store_summary(spark, path)
+    assert s["n_samples"] == docs.count()
+    assert s["slabs"] > 0 and s["logical_bytes"] > 0 and s["stored_bytes"] > 0
+    assert s["compression_ratio"] is not None
