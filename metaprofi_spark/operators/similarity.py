@@ -125,6 +125,38 @@ def knn_topk_cosine(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_dot_q: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a < id_b) whose QUANTIZED dot
+    product (round(x*1000) as long) >= min_dot_q.  Integer arithmetic =>
+    bit-exact vs the SQL oracle.  Brute-force; the LSH path
+    (ann_lsh_topk) is the scale variant."""
+    q = df.select(F.col(id_col).alias("id_a"), _quantize(F.col(vec_col)).alias("va"))
+    c = df.select(F.col(id_col).alias("id_b"), _quantize(F.col(vec_col)).alias("vb"))
+    return (
+        q.join(c, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _dot_long(F.col("va"), F.col("vb")).alias("dot_q"))
+        .filter(F.col("dot_q") >= min_dot_q)
+    )
+
+
+def embedding_near_dup_sql(min_dot_q: int) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= {min_dot_q}
+"""
+
+
 def _hyperplanes(dim: int, n_bits: int, table: int) -> np.ndarray:
     """Fixed seeded random hyperplanes (deterministic across runs)."""
     rng = np.random.default_rng(1234 + table)

@@ -525,6 +525,18 @@ FROM sess GROUP BY user_id
 """
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier (quantized integer dot => exact
+    vs oracle).  LSH (ann_lsh) is the scale path; this is ground truth."""
+    from metaprofi_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, NEAR_DUP_MIN_DOT)
+
+
+NEAR_DUP_MIN_DOT = 150_000
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -551,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
+        "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
     }
 
@@ -572,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "events_hourly": EVENTS_HOURLY_SQL,
         "user_sessions": USER_SESSIONS_SQL,
+        "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
         # no SQL oracle (estimates / probabilistic / float-tree / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
         # quality_scores, minhash_candidates, simhash_pairs, ann_lsh,
