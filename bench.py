@@ -66,7 +66,7 @@ def count_insertions(spark) -> int:
     return int(w) * BENCH_CFG.h
 
 
-def bloom_build_job(cores: int, reps: int = 3) -> tuple[float, int]:
+def bloom_build_job(cores: int, reps: int = 2) -> tuple[float, int]:
     """The scaling unit: matrix build + bit-sliced index transpose over
     the deterministic pages table.  Returns (min wall sec, insertions).
 
@@ -98,6 +98,57 @@ def bloom_build_job(cores: int, reps: int = 3) -> tuple[float, int]:
         assert n_index_rows > 0
     spark.stop()
     return min(walls), insertions
+
+
+def query_throughput(spark) -> dict[str, float]:
+    """1000-query membership workload on a PERSISTED pages index — the
+    shape of the reference's query benchmarks (1000 reads, t=100/75,
+    benchmarks/tara_oceans_index/README.md:59-64)."""
+    import shutil
+
+    from metaprofi_spark.operators import (
+        build_index, build_matrix, load_index, persist_index, search_df,
+    )
+
+    store = f"/tmp/metaprofi_bench_store_{BENCH_DOCS}"
+    pages = spark.read.parquet(PAGES_PATH).withColumn(
+        "doc_id", F.substring_index(F.col("url"), "/", 1 * -1).cast("long")
+    )
+    if not os.path.exists(os.path.join(store, "manifest.json")):
+        shutil.rmtree(store, ignore_errors=True)
+        bf = build_matrix(pages, BENCH_CFG, id_col="doc_id", text_col="text")
+        idx = build_index(bf, BENCH_CFG, sample_bucket_size=BENCH_BUCKET)
+        persist_index(idx, store, BENCH_CFG, n_samples=BENCH_DOCS,
+                      sample_bucket_size=BENCH_BUCKET)
+    index_df, cfg, manifest = load_index(spark, store, BENCH_CFG)
+    index_df = index_df.cache()
+    index_df.count()
+
+    # deterministic 1000-query workbook: 700 positive spans + 300 decoys
+    base = pages.filter(F.octet_length("text") > 12 * BENCH_CFG.k).limit(700).collect()
+    queries = [
+        (f"p{i}", r.text[11 : 11 + 6 * BENCH_CFG.k]) for i, r in enumerate(base)
+    ]
+    queries += [
+        (f"n{i}", f"@@decoy-{i:04d}-not-in-corpus-@@##$$%%^^&&**")
+        for i in range(1000 - len(queries))
+    ]
+    qdf = (
+        spark.createDataFrame(queries, "query_id string, query_text string")
+        .repartition(32).cache()
+    )
+    qdf.count()
+    bucket = manifest["sample_bucket_size"]
+    # one warm-up pass (python worker spawn, codegen, broadcast build)
+    search_df(spark, index_df, qdf, cfg, 100, bucket).count()
+    out = {}
+    for t in (100, 75):
+        t0 = time.time()
+        n = search_df(spark, index_df, qdf, cfg, t, bucket).count()
+        out[f"query_1000_t{t}"] = round(time.time() - t0, 3)
+        assert n >= 0
+    index_df.unpersist()
+    return out
 
 
 def sf_queries(spark) -> dict[str, float]:
@@ -154,6 +205,7 @@ def main() -> None:
     spark = get_spark(cores=CPUS, app_name="bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
     queries = sf_queries(spark)
+    queries.update(query_throughput(spark))
     queries["bloom_build_index_pages"] = round(wall_hi, 3)
     spark.stop()
 

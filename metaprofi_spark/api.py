@@ -1,0 +1,96 @@
+"""High-level API — 1:1 facade over the reference's CLI surface
+(/root/reference/metaprofi/metaprofi_main.py:19-282):
+
+    reference subcommand     -> this module
+    build / build-seq        -> build(spark, docs, cfg, path)
+    build_matrix             -> matrix(docs, cfg)
+    build_index              -> index(spark, docs, cfg, path)
+    update / update-seq      -> update(spark, path, new_docs, cfg)
+    search_index             -> query(spark, path, queries, threshold)
+    summary                  -> summary(spark, path)
+
+Everything returns DataFrames / dicts; persistence uses the
+partitioned-parquet store with a JSON manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metaprofi_spark.config import SketchConfig
+from metaprofi_spark.operators import (
+    build_index,
+    build_matrix,
+    format_results,
+    load_index,
+    persist_index,
+    search,
+    search_df,
+    store_summary,
+    update_store,
+)
+
+
+def matrix(docs: DataFrame, cfg: SketchConfig,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """`metaprofi build_matrix` analog: per-sample Bloom filter chunks."""
+    return build_matrix(docs, cfg, id_col=id_col, text_col=text_col)
+
+
+def build(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: SketchConfig,
+    path: str,
+    sample_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """`metaprofi build` analog: matrix + bit-sliced index + persist.
+    Returns the store summary."""
+    n = docs.count()
+    bf = build_matrix(docs, cfg, id_col=id_col, text_col=text_col)
+    idx = build_index(bf, cfg, sample_bucket_size=sample_bucket_size)
+    persist_index(idx, path, cfg, n_samples=n, sample_bucket_size=sample_bucket_size)
+    return store_summary(spark, path)
+
+
+def update(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """`metaprofi update` analog: bucket-aligned snapshot append."""
+    return update_store(spark, path, new_docs, cfg, id_col=id_col, text_col=text_col)
+
+
+def query(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[str, str]] | DataFrame,
+    threshold: int = 100,
+    cfg: SketchConfig | None = None,
+    write_to_file: str | None = None,
+) -> DataFrame:
+    """`metaprofi search_index` analog; accepts a query list (single
+    sequences, §3.2) or a DataFrame (file of queries, §3.3).  Optionally
+    writes the reference-format text report (S9)."""
+    index_df, stored_cfg, manifest = load_index(spark, path, cfg)
+    bucket = manifest["sample_bucket_size"]
+    if isinstance(queries, DataFrame):
+        res = search_df(spark, index_df, queries, stored_cfg, threshold, bucket)
+    else:
+        res = search(spark, index_df, queries, stored_cfg, threshold, bucket)
+    if write_to_file:
+        rows = res.collect()
+        with open(write_to_file, "w") as f:
+            f.write(format_results(rows, threshold))
+    return res
+
+
+def summary(spark: SparkSession, path: str) -> dict:
+    """`metaprofi summary` analog (utilities.py:598-638)."""
+    return store_summary(spark, path)

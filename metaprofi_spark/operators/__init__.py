@@ -15,8 +15,10 @@ from metaprofi_spark.operators.bloom_index import (
 from metaprofi_spark.operators.bloom_search import (
     format_results,
     hash_queries,
+    hash_queries_df,
     parse_results,
     search,
+    search_df,
 )
 from metaprofi_spark.operators.bloom_update import update_index, update_store
 
@@ -36,5 +38,7 @@ __all__ = [
     "load_index",
     "plan_index_geometry",
     "hash_queries",
+    "hash_queries_df",
     "search",
+    "search_df",
 ]

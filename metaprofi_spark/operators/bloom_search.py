@@ -130,6 +130,62 @@ def hash_queries(
     return pdf, n_kgrams
 
 
+def hash_queries_df(queries_df: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """Distributed analog of :func:`hash_queries` for large query files
+    (the reference's parallel hash phase, search_index.py:277-297):
+    queries_df(query_id string, query_text string) ->
+    (query_id, kgram_idx, weight, n_slices, slice_id, n_kgrams).
+
+    Runs the same numpy kernel inside ``mapInPandas`` so a
+    million-query batch hashes across the cluster.
+    """
+    import pandas as pd
+
+    schema = HASH_SCHEMA + ", n_kgrams long"
+
+    def fn(batches):
+        for pdf in batches:
+            qpdf, n_kgrams = hash_queries(
+                list(zip(pdf["query_id"], pdf["query_text"])), cfg
+            )
+            qpdf = qpdf.assign(
+                n_kgrams=qpdf["query_id"].map(n_kgrams).astype("int64")
+            )
+            yield qpdf
+
+    return queries_df.select("query_id", "query_text").mapInPandas(fn, schema)
+
+
+def search_df(
+    spark: SparkSession,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    cfg: SketchConfig,
+    threshold: int = 100,
+    sample_bucket_size: int | None = None,
+) -> DataFrame:
+    """File-of-queries search (§3.3 of SURVEY.md): distributed hashing,
+    then the same broadcast-join/AND/count plan as :func:`search`.
+    The hash side is collected to the driver only as the (small)
+    distinct position set for the broadcast — query texts never are.
+    """
+    if not 0 < threshold <= 100:
+        raise ValueError("threshold must be in (0, 100]")
+    bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    hashes = hash_queries_df(queries_df, cfg)
+    qpdf = hashes.toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_kgrams = {
+        q: int(n)
+        for q, n in qpdf[["query_id", "n_kgrams"]].drop_duplicates().itertuples(index=False)
+    }
+    return _search_from_hashes(
+        spark, index_df, qpdf.drop(columns=["n_kgrams"]), n_kgrams, cfg,
+        threshold, bucket,
+    )
+
+
 def search(
     spark: SparkSession,
     index_df: DataFrame,
@@ -148,9 +204,34 @@ def search(
     if not 0 < threshold <= 100:
         raise ValueError("threshold must be in (0, 100]")  # metaprofi_main.py:251-253
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
-    sb_size = slice_bucket_size(cfg)
-
     qpdf, n_kgrams = hash_queries(queries, cfg)
+    return _search_from_hashes(
+        spark, index_df, qpdf, n_kgrams, cfg, threshold, bucket
+    )
+
+
+def _search_from_hashes(
+    spark: SparkSession,
+    index_df: DataFrame,
+    qpdf,
+    n_kgrams: dict[str, int],
+    cfg: SketchConfig,
+    threshold: int,
+    bucket: int,
+) -> DataFrame:
+    """Shared physical plan (one shuffle):
+
+        hash rows --broadcast--> join index slabs (partition-pruned)
+          -> binary substring cuts each slab to the ONE needed slice
+             JVM-side BEFORE any shuffle
+          -> repartition(query_id, sample_bucket) + sortWithinPartitions
+          -> fused mapInPandas: per-(query,kgram) AND + per-sample
+             weighted count, vectorized over WHOLE partitions with
+             numpy segment reductions (no per-group pandas overhead —
+             a 1000-query workload makes ~2M groups)
+          -> threshold filter
+    """
+    sb_size = slice_bucket_size(cfg)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if len(qpdf) == 0:
         return empty
@@ -165,75 +246,122 @@ def search(
     buckets = sorted({int(s) // sb_size for s in qpdf["slice_id"]})
     pruned = index_df.filter(F.col("slice_bucket").isin(buckets))
 
-    # J1: each needed slab is fetched once per (query k-gram) use; the
-    # hash side is tiny => broadcast hash join, no shuffle of the index
-    joined = pruned.join(F.broadcast(hashes_df), "range_id")
-
-    and_schema = "query_id string, kgram_idx int, sample_bucket int, weight int, bits binary"
-
-    def and_slices(key, pdf):
-        n_slices = int(pdf["n_slices"].iat[0])
-        if len(pdf) < n_slices:  # some slab missing => all-zero => no hit
-            return pd.DataFrame(
-                columns=["query_id", "kgram_idx", "sample_bucket", "weight", "bits"]
-            )
-        # extract each required slice row from its slab
-        rows = []
-        for slab, sid in zip(pdf["bits"], pdf["slice_id"]):
-            off = int(sid) % rsize
-            rows.append(slab[off * width_bytes : (off + 1) * width_bytes])
-        blob = and_reduce(rows, width_bytes)
-        return pd.DataFrame(
-            {
-                "query_id": [key[0]],
-                "kgram_idx": pd.array([key[1]], dtype="int32"),
-                "sample_bucket": pd.array([key[2]], dtype="int32"),
-                "weight": pd.array([int(pdf["weight"].iat[0])], dtype="int32"),
-                "bits": [blob],
-            }
+    joined = (
+        pruned.join(F.broadcast(hashes_df), "range_id")
+        .withColumn(
+            "bits",
+            F.expr(
+                f"substring(bits, cast((slice_id % {rsize}) * {width_bytes} + 1 as int), {width_bytes})"
+            ),
         )
-
-    anded = joined.groupBy("query_id", "kgram_idx", "sample_bucket").applyInPandas(
-        and_slices, and_schema
+        .select("query_id", "kgram_idx", "sample_bucket", "weight", "n_slices", "bits")
     )
+
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # NO Spark sort here: Catalyst reorders Project(substring) above a
+    # Sort (the sort keys don't need `bits`), which would make the sort
+    # carry whole 64KB slabs (observed 19 GB spill).  The kernel sorts
+    # its partition in numpy instead — trivial at partition size.
+    arranged = joined.repartition(shuffle_p, "query_id", "sample_bucket")
+
+    # threshold applied INSIDE the kernel: a sample lives in exactly one
+    # bucket, so per-bucket counts are final — emitting sub-threshold
+    # rows would leak every Bloom false positive (~fpr × n_kgrams ×
+    # corpus rows of output at scale)
+    t_int = int(threshold)
+    needed = {q: (n * t_int + 99) // 100 for q, n in n_kgrams.items() if n > 0}
 
     count_schema = "query_id string, sample_idx long, kgram_hits long"
 
-    def count_hits(key, pdf):
-        sbucket = int(key[1])
-        mat = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
+    def fused(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if len(pdf) == 0:
+            return
+        qcodes, quniq = pd.factorize(pdf["query_id"], sort=False)
+        order = np.lexsort(
+            (pdf["kgram_idx"].to_numpy(), pdf["sample_bucket"].to_numpy(), qcodes)
         )
-        bits = np.unpackbits(mat, axis=1, bitorder="little")
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        qids = pdf["query_id"].to_numpy()
+        sbuckets = pdf["sample_bucket"].to_numpy()
+        kgrams = pdf["kgram_idx"].to_numpy()
         weights = pdf["weight"].to_numpy().astype(np.int64)
-        counts = (bits.astype(np.int64) * weights[:, None]).sum(axis=0)
-        nz = np.nonzero(counts)[0]
-        return pd.DataFrame(
+        n_slices = pdf["n_slices"].to_numpy().astype(np.int64)
+        mats = np.frombuffer(b"".join(pdf["bits"]), dtype=np.uint8).reshape(
+            len(pdf), width_bytes
+        )
+        # segment boundaries at (query, sample_bucket, kgram) changes —
+        # rows were just sorted above
+        change = np.nonzero(
+            (qids[1:] != qids[:-1])
+            | (sbuckets[1:] != sbuckets[:-1])
+            | (kgrams[1:] != kgrams[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        # a k-gram hits only when ALL its distinct slices are present
+        valid = (ends - starts) == n_slices[starts]
+        vstarts, vends = starts[valid], ends[valid]
+        if len(vstarts) == 0:
+            return
+        # AND each valid segment, vectorized by segment length (lengths
+        # are tiny — at most h distinct slice rows per k-gram)
+        seg_len = vends - vstarts
+        anded = mats[vstarts].copy()
+        for L in np.unique(seg_len):
+            if L == 1:
+                continue
+            idx = np.nonzero(seg_len == L)[0]
+            for j in range(1, int(L)):
+                anded[idx] &= mats[vstarts[idx] + j]
+        kweights = weights[vstarts]
+        # outer grouping: (query, sample_bucket) runs over valid segments
+        gq = qids[vstarts]
+        gb = sbuckets[vstarts]
+        gchange = np.nonzero((gq[1:] != gq[:-1]) | (gb[1:] != gb[:-1]))[0] + 1
+        gstarts = np.concatenate(([0], gchange))
+        gends = np.concatenate((gchange, [len(vstarts)]))
+        out_q: list[str] = []
+        out_s: list[int] = []
+        out_h: list[int] = []
+        for s, e in zip(gstarts, gends):
+            cut = needed.get(gq[s])
+            if cut is None:
+                continue
+            bits = np.unpackbits(anded[s:e], axis=1, bitorder="little")
+            counts = (bits.astype(np.int64) * kweights[s:e, None]).sum(axis=0)
+            nz = np.nonzero(counts >= cut)[0]
+            if len(nz) == 0:
+                continue
+            base = int(gb[s]) * bucket
+            out_q.extend([gq[s]] * len(nz))
+            out_s.extend((base + nz).tolist())
+            out_h.extend(counts[nz].tolist())
+        yield pd.DataFrame(
             {
-                "query_id": [key[0]] * len(nz),
-                "sample_idx": sbucket * bucket + nz.astype(np.int64),
-                "kgram_hits": counts[nz],
+                "query_id": out_q,
+                "sample_idx": pd.array(out_s, dtype="int64"),
+                "kgram_hits": pd.array(out_h, dtype="int64"),
             }
         )
 
-    counted = anded.groupBy("query_id", "sample_bucket").applyInPandas(
-        count_hits, count_schema
-    )
+    counted = arranged.mapInPandas(fused, count_schema)
 
     totals = spark.createDataFrame(
         [(q, int(n)) for q, n in n_kgrams.items() if n > 0],
         "query_id string, n_kgrams long",
     )
-    t = int(threshold)
     return (
         counted.join(F.broadcast(totals), "query_id")
-        # ceil(n*t/100) in exact integer math (search_index.py:532)
-        .filter(
-            F.col("kgram_hits")
-            >= F.floor((F.col("n_kgrams") * F.lit(t) + F.lit(99)) / F.lit(100))
-        )
+        # threshold already enforced in the kernel (exact integer
+        # ceil(n*t/100), search_index.py:532); join only adds totals
         .withColumn(
             "pct", F.col("kgram_hits") * F.lit(100.0) / F.col("n_kgrams")
         )
         .select("query_id", "sample_idx", "kgram_hits", "n_kgrams", "pct")
     )
+
+

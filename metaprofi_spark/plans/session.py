@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # keep shuffle/block files out of /tmp (aggressively cleaned in
+        # some sandboxes => 'shuffle index No such file' mid-job)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/root/spark-tmp"))
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     for key, val in (extra_conf or {}).items():
         b = b.config(key, val)

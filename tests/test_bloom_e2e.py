@@ -153,3 +153,17 @@ def test_summary(spark, docs):
     assert s["n_samples"] == docs.count()
     assert 0 < s["fill_ratio"] < 1
     assert s["set_bits"] > 0
+
+
+def test_search_df_equals_search(spark, docs, index):
+    """Distributed-hash file-query path == driver-hash path."""
+    from metaprofi_spark.operators import search_df
+
+    sample = docs.orderBy("doc_id").limit(4).collect()
+    qlist = [(f"q{r.doc_id}", r.text[: 6 * CFG.k]) for r in sample]
+    qdf = spark.createDataFrame(qlist, "query_id string, query_text string")
+    a = {(r.query_id, r.sample_idx, r.kgram_hits)
+         for r in search(spark, index, qlist, CFG, 75, BUCKET).collect()}
+    b = {(r.query_id, r.sample_idx, r.kgram_hits)
+         for r in search_df(spark, index, qdf, CFG, 75, BUCKET).collect()}
+    assert a == b and a

@@ -201,3 +201,32 @@ def test_store_summary(spark, docs, tmp_path):
     assert s["n_samples"] == docs.count()
     assert s["slabs"] > 0 and s["logical_bytes"] > 0 and s["stored_bytes"] > 0
     assert s["compression_ratio"] is not None
+
+
+def test_api_facade_lifecycle(spark, docs, tmp_path):
+    """build -> summary -> update -> query (list + DataFrame + report)."""
+    from metaprofi_spark import api
+
+    path = str(tmp_path / "apistore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    s = api.build(spark, first, CFG, path, sample_bucket_size=BUCKET)
+    assert s["n_samples"] == BUCKET
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    m = api.update(spark, path, rest, CFG)
+    assert m["n_samples"] == docs.count() and m["update_count"] == 1
+    r0 = docs.orderBy("doc_id").first()
+    report = str(tmp_path / "report.txt")
+    res = api.query(spark, path, [("q0", r0.text[:40])], 100, CFG, write_to_file=report)
+    assert any(r.sample_idx == r0.doc_id for r in res.collect())
+    from metaprofi_spark.operators import parse_results
+    parsed = parse_results(open(report).read())
+    assert 0 in [d["sample"] for d in parsed["q0"]]
+    # DataFrame query path through the same facade
+    qdf = spark.createDataFrame([("q0", r0.text[:40])], "query_id string, query_text string")
+    res2 = api.query(spark, path, qdf, 100, CFG)
+    assert {r.sample_idx for r in res2.collect()} == {r.sample_idx for r in res.collect()}
+    # config mismatch refused at the facade too
+    with pytest.raises(ValueError):
+        api.query(spark, path, [("q", "x" * 30)], 100, SketchConfig(k=9))
