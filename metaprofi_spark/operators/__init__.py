@@ -2,7 +2,9 @@ from metaprofi_spark.operators.bloom_build import (
     build_matrix,
     build_matrix_grouped,
     densify_samples,
+    load_matrix,
     matrix_summary,
+    persist_matrix,
     or_merge_tree,
 )
 from metaprofi_spark.operators.bloom_index import (
@@ -26,6 +28,8 @@ __all__ = [
     "build_matrix",
     "densify_samples",
     "or_merge_tree",
+    "persist_matrix",
+    "load_matrix",
     "store_summary",
     "format_results",
     "parse_results",

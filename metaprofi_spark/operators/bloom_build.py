@@ -258,6 +258,41 @@ def or_merge_tree(
     )
 
 
+def persist_matrix(
+    bf_df: DataFrame, path: str, cfg: SketchConfig, n_samples: int,
+    mode: str = "overwrite",
+) -> None:
+    """Matrix-store sink (S6/A2 analog of the Zarr matrix store,
+    zarrstore.py:217-291): partitioned by chunk_id so an index (re)build
+    prunes to the chunks it needs; manifest carries the config."""
+    import json as _json
+    import os as _os
+
+    bf_df.write.mode(mode).partitionBy("chunk_id").parquet(
+        _os.path.join(path, "matrix")
+    )
+    manifest = {
+        "config": _json.loads(cfg.to_json()),
+        "n_samples": int(n_samples),
+        "format_version": 1,
+    }
+    with open(_os.path.join(path, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+def load_matrix(spark, path: str, cfg: SketchConfig | None = None):
+    """Load a matrix store; refuse on config mismatch (F8 guard)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    stored = SketchConfig(**manifest["config"])
+    if cfg is not None:
+        cfg.require_compatible(stored)
+    return spark.read.parquet(_os.path.join(path, "matrix")), stored, manifest
+
+
 def densify_samples(df: DataFrame, id_col: str) -> DataFrame:
     """Assign a dense, deterministic sample_idx (0..n-1) ordered by id.
 

@@ -230,3 +230,23 @@ def test_api_facade_lifecycle(spark, docs, tmp_path):
     # config mismatch refused at the facade too
     with pytest.raises(ValueError):
         api.query(spark, path, [("q", "x" * 30)], 100, SketchConfig(k=9))
+
+
+def test_matrix_store_roundtrip(spark, docs, tmp_path):
+    from metaprofi_spark.operators import (
+        build_index, build_matrix, load_matrix, persist_matrix,
+    )
+
+    path = str(tmp_path / "mstore")
+    bf = build_matrix(docs, CFG)
+    persist_matrix(bf, path, CFG, n_samples=docs.count())
+    loaded, stored_cfg, manifest = load_matrix(spark, path, CFG)
+    assert stored_cfg == CFG and manifest["n_samples"] == docs.count()
+    # index built from the persisted matrix == index from the live one
+    a = {(r.range_id, r.sample_bucket, bytes(r.bits))
+         for r in build_index(loaded, CFG, sample_bucket_size=BUCKET).collect()}
+    b = {(r.range_id, r.sample_bucket, bytes(r.bits))
+         for r in build_index(bf, CFG, sample_bucket_size=BUCKET).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        load_matrix(spark, path, SketchConfig(k=9))
