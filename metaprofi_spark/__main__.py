@@ -1,0 +1,99 @@
+"""CLI mirroring the reference's subcommands
+(/root/reference/metaprofi/metaprofi_main.py:19-282):
+
+    python -m metaprofi_spark build   --input pages.parquet --store /s ...
+    python -m metaprofi_spark update  --input new.parquet   --store /s ...
+    python -m metaprofi_spark search  --store /s -s "query text" -t 100
+    python -m metaprofi_spark summary --store /s
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="metaprofi_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--store", required=True)
+        sp.add_argument("--k", type=int, default=12)
+        sp.add_argument("--h", type=int, default=2)
+        sp.add_argument("--m", type=int, default=1 << 20)
+        sp.add_argument("--slice-buckets", type=int, default=64)
+        sp.add_argument("--cores", default="*")
+
+    b = sub.add_parser("build")
+    common(b)
+    b.add_argument("--input", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--sample-bucket-size", type=int, default=None)
+
+    u = sub.add_parser("update")
+    common(u)
+    u.add_argument("--input", required=True)
+    u.add_argument("--id-col", default="doc_id")
+    u.add_argument("--text-col", default="text")
+
+    s = sub.add_parser("search")
+    common(s)
+    s.add_argument("-s", "--sequence", action="append", default=[],
+                   help="query text (repeatable)")
+    s.add_argument("-f", "--file", help="parquet of (query_id, query_text)")
+    s.add_argument("-t", "--threshold", type=int, default=100)
+    s.add_argument("-o", "--output", help="write reference-format report")
+
+    m = sub.add_parser("summary")
+    common(m)
+
+    args = p.parse_args(argv)
+
+    from metaprofi_spark import SketchConfig, api
+    from metaprofi_spark.plans.session import get_spark
+
+    cores = args.cores if args.cores == "*" else int(args.cores)
+    spark = get_spark(cores=cores, app_name=f"metaprofi-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = SketchConfig(
+        k=args.k, h=args.h, m=args.m,
+        # chunk width: byte- and slab-aligned, capped at 2^20 bits
+        chunk_bits=min((args.m + 2047) // 2048 * 2048, 1 << 20),
+        slice_buckets=args.slice_buckets,
+    )
+    try:
+        if args.cmd == "build":
+            docs = spark.read.parquet(args.input)
+            out = api.build(spark, docs, cfg, args.store,
+                            sample_bucket_size=args.sample_bucket_size,
+                            id_col=args.id_col, text_col=args.text_col)
+            print(json.dumps(out))
+        elif args.cmd == "update":
+            docs = spark.read.parquet(args.input)
+            out = api.update(spark, args.store, docs, cfg,
+                             id_col=args.id_col, text_col=args.text_col)
+            print(json.dumps(out))
+        elif args.cmd == "search":
+            if args.file:
+                queries = spark.read.parquet(args.file)
+            else:
+                queries = [(f"q{i}", s) for i, s in enumerate(args.sequence)]
+                if not queries:
+                    print("no queries given (-s or -f)", file=sys.stderr)
+                    return 2
+            res = api.query(spark, args.store, queries, args.threshold,
+                            write_to_file=args.output)
+            for r in res.collect():
+                print(f"{r.query_id}\t{r.sample_idx}\t{r.kgram_hits}/{r.n_kgrams}")
+        elif args.cmd == "summary":
+            print(json.dumps(api.summary(spark, args.store)))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
