@@ -86,3 +86,60 @@ def test_bit_transpose_involution(rows8, cols, seed):
     t = bit_matrix_transpose(mats)
     back = bit_matrix_transpose(t)
     assert (back == mats).all()           # transpose is an involution
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=300),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_tree_shape_irrelevant(items, seed):
+    """Any random merge tree over any partition == one-shot build."""
+    from metaprofi_spark.kernels import hll as H
+
+    vals = [f"v{i}".encode() for i in items]
+    one = H.hll_init(8)
+    H.hll_add(one, vals)
+    rng = np.random.default_rng(seed)
+    # random partition into 1..4 parts
+    nparts = int(rng.integers(1, 5))
+    parts = [[] for _ in range(nparts)]
+    for v in vals:
+        parts[int(rng.integers(0, nparts))].append(v)
+    sketches = []
+    for part in parts:
+        s = H.hll_init(8)
+        H.hll_add(s, part)
+        sketches.append(s)
+    # random merge tree
+    while len(sketches) > 1:
+        i = int(rng.integers(0, len(sketches) - 1))
+        a = sketches.pop(i)
+        b = sketches.pop(int(rng.integers(0, len(sketches))))
+        sketches.append(H.hll_merge(a, b))
+    assert (sketches[0] == one).all()
+
+
+@given(
+    st.lists(st.tuples(st.text(min_size=1, max_size=6), st.integers(1, 50)),
+             min_size=1, max_size=60),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_cms_merge_tree_shape_irrelevant(pairs, seed):
+    from metaprofi_spark.kernels import cms as C
+
+    keys = [k.encode() for k, _ in pairs]
+    counts = np.array([c for _, c in pairs], dtype=np.int64)
+    one = C.cms_init(3, 64)
+    C.cms_add(one, keys, counts)
+    rng = np.random.default_rng(seed)
+    nparts = int(rng.integers(1, 4))
+    tables = [C.cms_init(3, 64) for _ in range(nparts)]
+    for i, (k, c) in enumerate(zip(keys, counts)):
+        t = int(rng.integers(0, nparts))
+        C.cms_add(tables[t], [k], np.array([c], dtype=np.int64))
+    merged = tables[0]
+    for t in tables[1:]:
+        merged = C.cms_merge(merged, t)
+    assert (merged == one).all()
