@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from metaprofi_spark import SketchConfig  # noqa: E402
-from metaprofi_spark.operators import build_index, build_matrix, search  # noqa: E402
+from metaprofi_spark.operators import build_index, build_index_fused, build_matrix, search  # noqa: E402
 from metaprofi_spark.plans.session import get_spark  # noqa: E402
 from metaprofi_spark.sources.pages import generate_pages  # noqa: E402
 
@@ -87,12 +87,13 @@ def bloom_build_job(cores: int, reps: int = 2) -> tuple[float, int]:
     pages = spark.read.parquet(PAGES_PATH).withColumn(
         "doc_id", F.substring_index(F.col("url"), "/", 1 * -1).cast("long")
     ).coalesce(4 * cores)
-    build_matrix(pages, BENCH_CFG, id_col="doc_id", text_col="text").count()  # warm
+    # fused one-shuffle build (docs -> slabs; equals the two-stage
+    # matrix|>index path, tested) — the headline build job
+    build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET).count()  # warm
     walls = []
     for _ in range(reps):
         t0 = time.time()
-        bf = build_matrix(pages, BENCH_CFG, id_col="doc_id", text_col="text")
-        idx = build_index(bf, BENCH_CFG, sample_bucket_size=BENCH_BUCKET)
+        idx = build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET)
         n_index_rows = idx.count()
         walls.append(time.time() - t0)
         assert n_index_rows > 0

@@ -9,6 +9,7 @@ from metaprofi_spark.operators.bloom_build import (
 )
 from metaprofi_spark.operators.bloom_index import (
     build_index,
+    build_index_fused,
     load_index,
     persist_index,
     plan_index_geometry,
@@ -38,6 +39,7 @@ __all__ = [
     "build_matrix_grouped",
     "matrix_summary",
     "build_index",
+    "build_index_fused",
     "persist_index",
     "load_index",
     "plan_index_geometry",

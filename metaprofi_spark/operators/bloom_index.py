@@ -131,6 +131,92 @@ def build_index(
     )
 
 
+def build_index_fused(
+    docs: DataFrame,
+    cfg: SketchConfig,
+    sample_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_block: int = 1 << 13,
+) -> DataFrame:
+    """One-shuffle, zero-intermediate build: docs -> slabs directly.
+
+    The two-stage path shuffles the PACKED matrix (m/8 bytes per doc);
+    this one shuffles the raw TEXT keyed by sample_bucket (typically
+    3-10x smaller) and runs shingle+hash+set-bits+SWAR-transpose inside
+    a single task per bucket — no per-doc filter rows ever materialize.
+    Equivalent output to build_matrix|>build_index (tested); use the
+    two-stage path when the matrix store itself is wanted (S6).
+    """
+    bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    width_bytes = (bucket + 7) // 8
+    chunk_bits = cfg.chunk_bits
+    chunk_bytes = cfg.chunk_bytes
+    rsize = cfg.slice_range_size
+    sb_size = slice_bucket_size(cfg)
+    slice_block = max(slice_block // rsize, 1) * rsize
+    from metaprofi_spark.kernels import set_bits, shingle_positions
+
+    def fn(batches):
+        # bucket -> (packed filter matrix rows, local ids seen)
+        mats: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            doc_idx, pos = shingle_positions(
+                pdf[text_col].tolist(), cfg.k, cfg.seeds, cfg.m_padded, cfg.normalize
+            )
+            if len(doc_idx) == 0:
+                continue
+            h = len(cfg.seeds)
+            counts = np.bincount(doc_idx, minlength=len(ids)) * h
+            nz = np.nonzero(counts)[0]
+            run_ends = np.cumsum(counts[nz])
+            run_starts = run_ends - counts[nz]
+            flat = pos.reshape(-1)
+            for r, d in enumerate(nz):
+                gid = int(ids[d])
+                b = gid // bucket
+                m = mats.get(b)
+                if m is None:
+                    m = mats[b] = np.zeros((bucket, cfg.packed_bytes), dtype=np.uint8)
+                local = gid - b * bucket
+                set_bits(m[local], flat[run_starts[r] : run_ends[r]])
+        for b, m in mats.items():
+            out_rid: list[int] = []
+            out_bits: list[bytes] = []
+            for chunk_id in range(cfg.n_chunks):
+                base_range = chunk_id * chunk_bits // rsize
+                cstart = chunk_id * chunk_bytes
+                for blk in range(0, chunk_bits, slice_block):
+                    bend = min(blk + slice_block, chunk_bits)
+                    sub = m[:, cstart + blk // 8 : cstart + (bend + 7) // 8]
+                    packed = bit_matrix_transpose(sub, out_width_bytes=width_bytes)[
+                        : bend - blk
+                    ]
+                    slabs = packed.reshape((bend - blk) // rsize, rsize * width_bytes)
+                    nzs = np.nonzero(slabs.any(axis=1))[0]
+                    if len(nzs) == 0:
+                        continue
+                    out_rid.extend((base_range + blk // rsize + nzs).tolist())
+                    out_bits.extend(slabs[r].tobytes() for r in nzs)
+            yield pd.DataFrame(
+                {
+                    "range_id": pd.array(out_rid, dtype="int64"),
+                    "sample_bucket": pd.array([b] * len(out_rid), dtype="int32"),
+                    "bits": out_bits,
+                }
+            )
+
+    shuffled = docs.select(id_col, text_col).repartition(
+        F.floor(F.col(id_col) / F.lit(bucket))
+    )
+    idx = shuffled.mapInPandas(fn, INDEX_SCHEMA)
+    return idx.withColumn(
+        "slice_bucket",
+        (F.col("range_id") * F.lit(rsize) / F.lit(sb_size)).cast("int"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # persistence: Iceberg-shaped parquet layout + manifest (config + lineage)
 # ---------------------------------------------------------------------------

@@ -167,3 +167,14 @@ def test_search_df_equals_search(spark, docs, index):
     b = {(r.query_id, r.sample_idx, r.kgram_hits)
          for r in search_df(spark, index, qdf, CFG, 75, BUCKET).collect()}
     assert a == b and a
+
+
+def test_fused_build_equals_two_stage(spark, docs):
+    """build_index_fused == build_matrix |> build_index (slab-exact)."""
+    from metaprofi_spark.operators import build_index_fused
+
+    fused = build_index_fused(docs, CFG, sample_bucket_size=BUCKET)
+    two = build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET)
+    a = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in fused.collect()}
+    b = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in two.collect()}
+    assert a == b and a
