@@ -174,6 +174,32 @@ def cms_query_blob(blob: bytes, keys: list[str]) -> dict[str, int]:
     return {k: int(e) for k, e in zip(keys, ests)}
 
 
+def cms_estimate_df(
+    df: DataFrame, value_col: str, blob: bytes, out_col: str = "est"
+) -> DataFrame:
+    """Distributed point-queries against one merged CMS blob.
+
+    The blob is a FIXED-SIZE sketch (depth*width counters) shipped to
+    executors via a Spark broadcast; estimates run vectorized inside
+    ``mapInPandas`` over the (distributed) key DataFrame — the scale
+    path for "estimate every distinct token", where collecting the key
+    set to the driver would OOM at corpus scale.
+    """
+    sc = df.sparkSession.sparkContext
+    bblob = sc.broadcast(bytes(blob))
+
+    def fn(batches):
+        table = C.cms_deserialize(bblob.value[8:])
+        for pdf in batches:
+            vals = [str(v).encode("utf-8") for v in pdf[value_col]]
+            ests = C.cms_query(table, vals)
+            yield pd.DataFrame(
+                {value_col: pdf[value_col], out_col: pd.array(ests, dtype="int64")}
+            )
+
+    return df.select(value_col).mapInPandas(fn, f"{value_col} string, {out_col} long")
+
+
 # ---------------------------------------------------------------------------
 # KLL — quantiles
 # ---------------------------------------------------------------------------

@@ -76,9 +76,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    # NO broadcast hints: the size tables are one row PER DOCUMENT —
+    # broadcasting them is a guaranteed driver/executor OOM at corpus
+    # scale.  A plain shuffle join on the id keys is the right plan
+    # (and this is the oracle tier anyway).
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(
             F.col("shared") * 100
             >= F.lit(tau_pct) * (F.col("size_a") + F.col("size_b") - F.col("shared"))

@@ -231,21 +231,23 @@ LIMIT 100
 
 def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min estimates for the corpus' tokens (overestimate-only,
-    <= true + eps*N — bound asserted in tests)."""
-    from metaprofi_spark.functions.sketch_agg import cms_agg, cms_query_blob
+    <= true + eps*N — bound asserted in tests).
+
+    Scale shape: the ONLY driver materialization is the single merged
+    sketch row (a fixed-size blob); the distinct-token set stays
+    distributed and is estimated inside ``mapInPandas`` against the
+    broadcast blob."""
+    from metaprofi_spark.functions.sketch_agg import cms_agg, cms_estimate_df
 
     tokens = (
         _docs(spark, sf_dir)
         .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    res = cms_agg(tokens.withColumn("g", F.lit(1)), ["g"], "token", 4, 8192).collect()
-    blob = res[0]["sketch"]
-    keys = sorted(r.token for r in tokens.select("token").distinct().collect())
-    ests = cms_query_blob(blob, keys)
-    return spark.createDataFrame(
-        [(t, int(e)) for t, e in ests.items()], "token string, est long"
-    )
+    blob = cms_agg(tokens.withColumn("g", F.lit(1)), ["g"], "token", 4, 8192).first()[
+        "sketch"
+    ]
+    return cms_estimate_df(tokens.distinct(), "token", blob, out_col="est")
 
 
 QUANTILE_PCTS = [10, 50, 90, 99]
@@ -441,10 +443,38 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode/feature plumbing (deterministic fake decoder
-    — stable across partitionings; no SQL oracle)."""
+    — stable across partitionings; no SQL oracle).
+
+    Gate-friendly projection: the library API (`decode_and_featurize`)
+    returns `features array<float>`, which the driver's canonicalizer
+    cannot hash — here the array is reduced to a quantized integer
+    checksum (order within the array is fixed, so the checksum is
+    bit-stable across partitionings)."""
     from metaprofi_spark.operators.multimodal import decode_and_featurize
 
-    return decode_and_featurize(_docs(spark, sf_dir), payload_col="text")
+    dec = decode_and_featurize(_docs(spark, sf_dir), payload_col="text")
+    feat_checksum = F.aggregate(
+        "features",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    return dec.select(
+        "doc_id", "width", "height", "n_bytes", feat_checksum.alias("feat_checksum")
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable slice of the decode plumbing: the payload byte count
+    survives the Arrow round-trip bit-exactly (DuckDB oracle: strlen)."""
+    from metaprofi_spark.operators.multimodal import decode_and_featurize
+
+    dec = decode_and_featurize(_docs(spark, sf_dir), payload_col="text")
+    return dec.select("doc_id", "n_bytes")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +492,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # sum a QUANTIZED long, not a double: float summation order
+            # varies with partitioning, so an integer-domain sum is the
+            # only aggregate that is bit-exact vs the oracle
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -471,7 +504,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -565,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_decode": multimodal_decode,
+        "multimodal_meta": multimodal_meta,
     }
 
 
@@ -585,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "events_hourly": EVENTS_HOURLY_SQL,
         "user_sessions": USER_SESSIONS_SQL,
+        "multimodal_meta": MULTIMODAL_META_SQL,
         "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
         # no SQL oracle (estimates / probabilistic / float-tree / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
