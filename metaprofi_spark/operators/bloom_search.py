@@ -163,26 +163,43 @@ def search_df(
     cfg: SketchConfig,
     threshold: int = 100,
     sample_bucket_size: int | None = None,
+    broadcast_queries: bool = True,
+    sample_ids: list[int] | None = None,
 ) -> DataFrame:
     """File-of-queries search (§3.3 of SURVEY.md): distributed hashing,
-    then the same broadcast-join/AND/count plan as :func:`search`.
-    The hash side is collected to the driver only as the (small)
-    distinct position set for the broadcast — query texts never are.
+    then the same join/AND/count plan as :func:`search`.
+
+    NOTHING per-row crosses the driver: the hash rows stay a DataFrame
+    end-to-end (broadcast JVM-side when ``broadcast_queries``, shuffle
+    join on range_id otherwise — flip it off for reference-shape
+    million-read query files whose hash rows outgrow a broadcast,
+    search_index.py:277-297).  The only driver materialization is the
+    distinct slice_bucket list, bounded by ``cfg.slice_buckets`` (a
+    config constant) — it drives static partition pruning of the
+    parquet scan.
     """
     if not 0 < threshold <= 100:
         raise ValueError("threshold must be in (0, 100]")
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
-    hashes = hash_queries_df(queries_df, cfg)
-    qpdf = hashes.toPandas()
-    if len(qpdf) == 0:
+    sb_size = slice_bucket_size(cfg)
+    # cached: read twice (bucket-prune list + the index join); hash rows
+    # are ~(n_queries * kgrams * h) tuples of scalars, far smaller than
+    # the index side they prune
+    hashes = hash_queries_df(queries_df, cfg).persist()
+    buckets = [
+        r["b"]
+        for r in hashes.select(
+            (F.col("slice_id") / F.lit(sb_size)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not buckets:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    n_kgrams = {
-        q: int(n)
-        for q, n in qpdf[["query_id", "n_kgrams"]].drop_duplicates().itertuples(index=False)
-    }
     return _search_from_hashes(
-        spark, index_df, qpdf.drop(columns=["n_kgrams"]), n_kgrams, cfg,
-        threshold, bucket,
+        spark, index_df, hashes, cfg, threshold, bucket,
+        slice_buckets=sorted(buckets), broadcast_queries=broadcast_queries,
+        sample_ids=sample_ids,
     )
 
 
@@ -193,6 +210,7 @@ def search(
     cfg: SketchConfig,
     threshold: int = 100,
     sample_bucket_size: int | None = None,
+    sample_ids: list[int] | None = None,
 ) -> DataFrame:
     """Run exact (t=100) or thresholded membership search.
 
@@ -200,24 +218,37 @@ def search(
     ``kgram_hits`` counts k-gram OCCURRENCES whose h bits are all set —
     Bloom semantics: no false negatives; false positives bounded by
     (1-e^(-hn/m))^h.
+
+    ``sample_ids`` scopes results to a sample-id list (the reference's
+    sample-restricted lookup, search_index.py:549-553): index cells are
+    pruned by sample_bucket BEFORE the AND stage, then results are
+    filtered exactly.
     """
     if not 0 < threshold <= 100:
         raise ValueError("threshold must be in (0, 100]")  # metaprofi_main.py:251-253
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
+    sb_size = slice_bucket_size(cfg)
     qpdf, n_kgrams = hash_queries(queries, cfg)
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qpdf = qpdf.assign(n_kgrams=qpdf["query_id"].map(n_kgrams).astype("int64"))
+    buckets = sorted({int(s) // sb_size for s in qpdf["slice_id"]})
     return _search_from_hashes(
-        spark, index_df, qpdf, n_kgrams, cfg, threshold, bucket
+        spark, index_df, spark.createDataFrame(qpdf), cfg, threshold, bucket,
+        slice_buckets=buckets, sample_ids=sample_ids,
     )
 
 
 def _search_from_hashes(
     spark: SparkSession,
     index_df: DataFrame,
-    qpdf,
-    n_kgrams: dict[str, int],
+    hashes_df: DataFrame,
     cfg: SketchConfig,
     threshold: int,
     bucket: int,
+    slice_buckets: list[int],
+    broadcast_queries: bool = True,
+    sample_ids: list[int] | None = None,
 ) -> DataFrame:
     """Shared physical plan (one shuffle):
 
@@ -231,30 +262,35 @@ def _search_from_hashes(
              a 1000-query workload makes ~2M groups)
           -> threshold filter
     """
-    sb_size = slice_bucket_size(cfg)
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
-    if len(qpdf) == 0:
-        return empty
-
     rsize = cfg.slice_range_size
     width_bytes = (bucket + 7) // 8
-    qpdf = qpdf.assign(range_id=(qpdf["slice_id"] // rsize).astype("int64"))
-    hashes_df = spark.createDataFrame(qpdf)
+    hashes_df = hashes_df.withColumn(
+        "range_id", F.expr(f"slice_id div {rsize}")
+    )
     # partition pruning: touch only the slice_buckets the query needs
     # (the binning optimization, search_index.py:578-592, for free via
     # parquet partition filters)
-    buckets = sorted({int(s) // sb_size for s in qpdf["slice_id"]})
-    pruned = index_df.filter(F.col("slice_bucket").isin(buckets))
+    pruned = index_df.filter(F.col("slice_bucket").isin(slice_buckets))
+    if sample_ids is not None:
+        # sample scoping, stage 1 (coarse): prune whole index cells by
+        # sample_bucket BEFORE the join/AND — the reference's sample-id
+        # restriction (search_index.py:549-553) lifted to the scan
+        scope_buckets = sorted({int(s) // bucket for s in sample_ids})
+        pruned = pruned.filter(F.col("sample_bucket").isin(scope_buckets))
 
+    qside = F.broadcast(hashes_df) if broadcast_queries else hashes_df
     joined = (
-        pruned.join(F.broadcast(hashes_df), "range_id")
+        pruned.join(qside, "range_id")
         .withColumn(
             "bits",
             F.expr(
                 f"substring(bits, cast((slice_id % {rsize}) * {width_bytes} + 1 as int), {width_bytes})"
             ),
         )
-        .select("query_id", "kgram_idx", "sample_bucket", "weight", "n_slices", "bits")
+        .select(
+            "query_id", "kgram_idx", "sample_bucket", "weight", "n_slices",
+            "n_kgrams", "bits",
+        )
     )
 
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -267,11 +303,13 @@ def _search_from_hashes(
     # threshold applied INSIDE the kernel: a sample lives in exactly one
     # bucket, so per-bucket counts are final — emitting sub-threshold
     # rows would leak every Bloom false positive (~fpr × n_kgrams ×
-    # corpus rows of output at scale)
+    # corpus rows of output at scale).  The cutoff ceil(n*t/100) is
+    # computed per segment from the n_kgrams COLUMN (search_index.py:532
+    # semantics) — no driver-side per-query dict, so the plan is
+    # identical for 4 probes or a million-read query file.
     t_int = int(threshold)
-    needed = {q: (n * t_int + 99) // 100 for q, n in n_kgrams.items() if n > 0}
 
-    count_schema = "query_id string, sample_idx long, kgram_hits long"
+    count_schema = "query_id string, sample_idx long, kgram_hits long, n_kgrams long"
 
     def fused(batches):
         pdfs = list(batches)
@@ -290,6 +328,7 @@ def _search_from_hashes(
         kgrams = pdf["kgram_idx"].to_numpy()
         weights = pdf["weight"].to_numpy().astype(np.int64)
         n_slices = pdf["n_slices"].to_numpy().astype(np.int64)
+        nk = pdf["n_kgrams"].to_numpy().astype(np.int64)
         mats = np.frombuffer(b"".join(pdf["bits"]), dtype=np.uint8).reshape(
             len(pdf), width_bytes
         )
@@ -318,6 +357,7 @@ def _search_from_hashes(
             for j in range(1, int(L)):
                 anded[idx] &= mats[vstarts[idx] + j]
         kweights = weights[vstarts]
+        seg_nk = nk[vstarts]
         # outer grouping: (query, sample_bucket) runs over valid segments
         gq = qids[vstarts]
         gb = sbuckets[vstarts]
@@ -327,10 +367,10 @@ def _search_from_hashes(
         out_q: list[str] = []
         out_s: list[int] = []
         out_h: list[int] = []
+        out_n: list[int] = []
         for s, e in zip(gstarts, gends):
-            cut = needed.get(gq[s])
-            if cut is None:
-                continue
+            n_total = int(seg_nk[s])
+            cut = (n_total * t_int + 99) // 100
             bits = np.unpackbits(anded[s:e], axis=1, bitorder="little")
             counts = (bits.astype(np.int64) * kweights[s:e, None]).sum(axis=0)
             nz = np.nonzero(counts >= cut)[0]
@@ -340,28 +380,30 @@ def _search_from_hashes(
             out_q.extend([gq[s]] * len(nz))
             out_s.extend((base + nz).tolist())
             out_h.extend(counts[nz].tolist())
+            out_n.extend([n_total] * len(nz))
         yield pd.DataFrame(
             {
                 "query_id": out_q,
                 "sample_idx": pd.array(out_s, dtype="int64"),
                 "kgram_hits": pd.array(out_h, dtype="int64"),
+                "n_kgrams": pd.array(out_n, dtype="int64"),
             }
         )
 
     counted = arranged.mapInPandas(fused, count_schema)
 
-    totals = spark.createDataFrame(
-        [(q, int(n)) for q, n in n_kgrams.items() if n > 0],
-        "query_id string, n_kgrams long",
-    )
-    return (
-        counted.join(F.broadcast(totals), "query_id")
-        # threshold already enforced in the kernel (exact integer
-        # ceil(n*t/100), search_index.py:532); join only adds totals
-        .withColumn(
-            "pct", F.col("kgram_hits") * F.lit(100.0) / F.col("n_kgrams")
+    # threshold already enforced in the kernel (exact integer
+    # ceil(n*t/100), search_index.py:532); n_kgrams rode along with the
+    # hash rows so there is no totals join at all
+    result = counted.withColumn(
+        "pct", F.col("kgram_hits") * F.lit(100.0) / F.col("n_kgrams")
+    ).select("query_id", "sample_idx", "kgram_hits", "n_kgrams", "pct")
+    if sample_ids is not None:
+        # sample scoping, stage 2 (exact): bucket pruning above is
+        # coarse — trim to the exact id set
+        result = result.filter(
+            F.col("sample_idx").isin([int(s) for s in sample_ids])
         )
-        .select("query_id", "sample_idx", "kgram_hits", "n_kgrams", "pct")
-    )
+    return result
 
 

@@ -169,6 +169,38 @@ def test_search_df_equals_search(spark, docs, index):
     assert a == b and a
 
 
+def test_search_df_shuffle_join_equals_broadcast(spark, docs, index):
+    """broadcast_queries=False (the million-read shape) == broadcast plan."""
+    from metaprofi_spark.operators import search_df
+
+    sample = docs.orderBy("doc_id").limit(4).collect()
+    qlist = [(f"q{r.doc_id}", r.text[: 6 * CFG.k]) for r in sample]
+    qdf = spark.createDataFrame(qlist, "query_id string, query_text string")
+    a = {(r.query_id, r.sample_idx, r.kgram_hits, r.n_kgrams)
+         for r in search_df(spark, index, qdf, CFG, 75, BUCKET).collect()}
+    b = {(r.query_id, r.sample_idx, r.kgram_hits, r.n_kgrams)
+         for r in search_df(spark, index, qdf, CFG, 75, BUCKET,
+                            broadcast_queries=False).collect()}
+    assert a == b and a
+
+
+def test_sample_scoped_search(spark, docs, index):
+    """Scoped search == unscoped results post-filtered to the id set,
+    AND the scoped plan prunes sample_buckets before the AND stage."""
+    r0 = docs.orderBy("doc_id").first()
+    q = [("s", r0.text[: 8 * CFG.k])]
+    full = search(spark, index, q, CFG, 40, BUCKET)
+    all_ids = sorted(r.sample_idx for r in full.collect())
+    assert all_ids
+    scope = all_ids[: max(len(all_ids) // 2, 1)] + [10**9]  # + absent id
+    scoped = search(spark, index, q, CFG, 40, BUCKET, sample_ids=scope)
+    got = sorted(r.sample_idx for r in scoped.collect())
+    assert got == sorted(set(all_ids) & set(scope))
+    # coarse pruning is in the plan: sample_bucket filter before the join
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "sample_bucket" in plan
+
+
 def test_fused_build_equals_two_stage(spark, docs):
     """build_index_fused == build_matrix |> build_index (slab-exact)."""
     from metaprofi_spark.operators import build_index_fused
