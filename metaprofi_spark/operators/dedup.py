@@ -23,7 +23,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from metaprofi_spark.functions.text import fingerprint
-from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes
+from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes, mmh2_64_windows
+
+
+def _token_arrays(df: DataFrame, id_col: str, text_col: str, distinct: bool) -> DataFrame:
+    """Tokenize JVM-side (codegen'd split/filter[/distinct]); python
+    workers only ever see token ARRAYS through Arrow — no per-doc string
+    work in the hot path."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    if distinct:
+        toks = F.array_distinct(toks)
+    return df.select(F.col(id_col), toks.alias("toks"))
+
+
+def _doc_runs(pdf: pd.DataFrame, id_col: str):
+    """Flatten a batch of token arrays: (kept ids, per-doc counts,
+    per-doc start offsets, flat encoded token list)."""
+    tok_arrays = pdf["toks"].to_numpy()
+    counts = np.fromiter(
+        (len(t) for t in tok_arrays), dtype=np.int64, count=len(tok_arrays)
+    )
+    keep = np.nonzero(counts)[0]
+    if len(keep) == 0:
+        return None
+    counts = counts[keep]
+    ids = pdf[id_col].to_numpy()[keep]
+    flat = [t.encode("utf-8") for i in keep for t in tok_arrays[i]]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return ids, counts, starts, flat
 
 
 # ---------------------------------------------------------------------------
@@ -133,32 +160,71 @@ def minhash_bands(
         raise ValueError("bands must divide n_perm")
     rows_per_band = n_perm // bands
     seeds = list(range(n_perm))
+    _empty = {
+        "id": pd.array([], dtype="int64"),
+        "band_id": pd.array([], dtype="int32"),
+        "band_hash": pd.array([], dtype="int64"),
+    }
 
     def sig(batches):
         for pdf in batches:
-            ids, band_ids, band_hashes = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = sorted({t for t in (text or "").lower().split() if t})
-                if not toks:
-                    continue
-                h = mmh2_64_bytes([t.encode() for t in toks], seeds)  # (n,64)
-                signature = h.min(axis=0)  # (n_perm,)
-                for b in range(bands):
-                    chunk = signature[b * rows_per_band : (b + 1) * rows_per_band]
-                    bh = mmh2_64_bytes([chunk.tobytes()], [b])[0, 0]
-                    ids.append(did)
-                    band_ids.append(b)
-                    band_hashes.append(int(bh & np.uint64(0x7FFFFFFFFFFFFFFF)))
+            runs = _doc_runs(pdf, id_col)
+            if runs is None:
+                yield pd.DataFrame(_empty)
+                continue
+            ids, counts, starts, flat = runs
+            n_docs = len(ids)
+            # ONE hash call for the whole batch x all seeds, then
+            # per-doc segment minima — no per-row python
+            h = mmh2_64_bytes(flat, seeds)  # (total_tokens, n_perm)
+            sigmat = np.minimum.reduceat(h, starts, axis=0)  # (n_docs, n_perm)
+            # band hash = mmh2(band slice bytes, seed=band): one
+            # vectorized call per band over the signature byte matrix
+            sig_bytes = np.ascontiguousarray(sigmat).view(np.uint8).reshape(
+                n_docs, n_perm * 8
+            )
+            bh = np.empty((n_docs, bands), dtype=np.uint64)
+            w = rows_per_band * 8
+            for b in range(bands):
+                chunk = np.ascontiguousarray(sig_bytes[:, b * w : (b + 1) * w])
+                bh[:, b] = mmh2_64_windows(chunk, [b])[:, 0]
+            bh &= np.uint64(0x7FFFFFFFFFFFFFFF)
             yield pd.DataFrame(
                 {
-                    "id": pd.array(ids, dtype="int64"),
-                    "band_id": pd.array(band_ids, dtype="int32"),
-                    "band_hash": pd.array(band_hashes, dtype="int64"),
+                    "id": pd.array(np.repeat(ids, bands).astype(np.int64), dtype="int64"),
+                    "band_id": pd.array(
+                        np.tile(np.arange(bands, dtype=np.int32), n_docs), dtype="int32"
+                    ),
+                    "band_hash": pd.array(
+                        bh.reshape(-1).astype(np.int64), dtype="int64"
+                    ),
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _token_arrays(df, id_col, text_col, distinct=True).mapInPandas(
         sig, "id long, band_id int, band_hash long"
+    )
+
+
+def minhash_signature_groups(
+    df: DataFrame,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Group docs by their FULL banded signature: (sig, rep, members).
+
+    Web corpora carry huge clusters of signature-identical documents
+    (boilerplate, mirrors); collapsing them first is what keeps the
+    LSH pair join from going quadratic on those clusters."""
+    bandsdf = minhash_bands(df, n_perm, bands, id_col, text_col)
+    sigs = bandsdf.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("band_id", "band_hash"))).alias("sig")
+    )
+    return sigs.groupBy("sig").agg(
+        F.sort_array(F.collect_list("id")).alias("members"),
+        F.min("id").alias("rep"),
     )
 
 
@@ -173,20 +239,56 @@ def minhash_lsh_candidates(
 
     A pair with true Jaccard j collides in >= 1 of b bands with
     probability 1-(1-j^r)^b (r = n_perm/bands) — the published S-curve.
+
+    Plan (equals the naive band self-join bit-for-bit, pinned by test):
+
+    1. collapse signature-identical docs into groups — a c-doc
+       identical cluster is 1 representative instead of c² join rows;
+    2. band self-join + distinct over REPRESENTATIVES only (the
+       skew-prone shuffle now sees one row per distinct signature);
+    3. re-expand members with codegen'd explodes: cross pairs between
+       colliding groups + intra-group pairs.  Expansion is pure output
+       generation — the candidate list itself is the data volume, not
+       a shuffle amplification.
     """
-    bandsdf = minhash_bands(df, n_perm, bands, id_col, text_col)
-    a = bandsdf.alias("a")
-    b = bandsdf.alias("b")
-    return (
+    groups = minhash_signature_groups(df, n_perm, bands, id_col, text_col)
+    rep_bands = groups.select("rep", F.explode("sig").alias("bb")).select(
+        "rep", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a = rep_bands.alias("a")
+    b = rep_bands.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .distinct()
     )
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(F.explode("ma").alias("x"), "mb")
+        .select("x", F.explode("mb").alias("y"))
+        .select(F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b"))
+    )
+    # members are sorted ascending, so (members[i], members[j>i]) pairs
+    # are already (id_a < id_b)
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(F.posexplode("members").alias("i", "id_a"), F.col("members"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("members", F.col("i") + F.lit(2), F.size("members"))
+            ).alias("id_b"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -197,29 +299,46 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token hash bits weighted by
-    token frequency.  Returns (id, simhash long)."""
+    token OCCURRENCE (every occurrence votes ±1 per bit — equivalent to
+    the frequency-weighted unique-token formulation, since the vote sum
+    distributes over duplicates).  Returns (id, simhash long)."""
+    _empty = {"id": pd.array([], dtype="int64"), "simhash": pd.array([], dtype="int64")}
+    slab_tokens = 1 << 18  # bound the (tokens, 64) bit matrix to ~64 MB
 
     def sig(batches):
         for pdf in batches:
-            ids, sims = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
-                if not toks:
-                    continue
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                h = mmh2_64_bytes([t.encode() for t in uniq], [0])[:, 0]
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sim = np.uint64(0)
-                for j in np.nonzero(votes > 0)[0]:
-                    sim |= np.uint64(1) << np.uint64(j)
-                ids.append(did)
-                sims.append(int(sim.astype(np.int64)))
+            runs = _doc_runs(pdf, id_col)
+            if runs is None:
+                yield pd.DataFrame(_empty)
+                continue
+            ids, counts, starts, flat = runs
+            n_docs = len(ids)
+            h = mmh2_64_bytes(flat, [0])[:, 0]  # one call: (total_tokens,)
+            sims = np.empty(n_docs, dtype=np.int64)
+            shift = np.arange(64, dtype=np.uint64)
+            d0 = 0
+            while d0 < n_docs:
+                # doc-aligned token slabs keep the bit matrix bounded
+                d1 = d0 + 1
+                tok0 = starts[d0]
+                while d1 < n_docs and starts[d1] + counts[d1] - tok0 <= slab_tokens:
+                    d1 += 1
+                tok1 = starts[d1 - 1] + counts[d1 - 1]
+                bits = ((h[tok0:tok1, None] >> shift) & np.uint64(1)).astype(np.int32)
+                ones = np.add.reduceat(bits, starts[d0:d1] - tok0, axis=0)
+                votes = 2 * ones - counts[d0:d1, None]
+                sims[d0:d1] = np.packbits(
+                    votes > 0, axis=1, bitorder="little"
+                ).view(np.int64)[:, 0]
+                d0 = d1
             yield pd.DataFrame(
-                {"id": pd.array(ids, dtype="int64"), "simhash": pd.array(sims, dtype="int64")}
+                {"id": pd.array(ids.astype(np.int64), dtype="int64"),
+                 "simhash": pd.array(sims, dtype="int64")}
             )
 
-    return df.select(id_col, text_col).mapInPandas(sig, "id long, simhash long")
+    return _token_arrays(df, id_col, text_col, distinct=False).mapInPandas(
+        sig, "id long, simhash long"
+    )
 
 
 def simhash_candidates(

@@ -94,6 +94,91 @@ def test_simhash_near_dup_hamming(spark, docs):
     assert all(h <= 16 for h in hits)
 
 
+def test_minhash_candidates_equal_naive_band_join(spark, docs):
+    """The signature-group-collapsed plan must equal the naive band
+    self-join + distinct bit-for-bit (including planted identical and
+    near-identical docs exercising intra- and cross-group paths)."""
+    from metaprofi_spark.operators.dedup import minhash_bands, minhash_lsh_candidates
+
+    base = [r.text for r in docs.limit(60).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((3 * i, t))
+        rows.append((3 * i + 1, t))  # signature-identical twin
+        toks = t.split()
+        toks[len(toks) // 2] = "PERTURBED"
+        rows.append((3 * i + 2, " ".join(toks)))  # near-identical
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bandsdf = minhash_bands(df, 64, 16)
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    naive = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    got = [(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, 64, 16).collect()]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == naive and naive
+
+
+def test_minhash_signature_equals_scalar_oracle(spark, docs):
+    """The batch-vectorized signature kernel must equal the obvious
+    per-doc formulation: band_hash = mmh2(min-over-tokens slice, seed=b)."""
+    from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes
+    from metaprofi_spark.operators.dedup import minhash_bands
+
+    sample = docs.limit(25).collect()
+    n_perm, bands, rpb = 64, 16, 4
+    expect = set()
+    for r in sample:
+        toks = sorted({t for t in r.text.lower().split() if t})
+        if not toks:
+            continue
+        h = mmh2_64_bytes([t.encode() for t in toks], list(range(n_perm)))
+        signature = h.min(axis=0)
+        for b in range(bands):
+            bh = mmh2_64_bytes([signature[b * rpb : (b + 1) * rpb].tobytes()], [b])[0, 0]
+            expect.add((r.doc_id, b, int(bh & np.uint64(0x7FFFFFFFFFFFFFFF))))
+    df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in sample], "doc_id long, text string"
+    )
+    got = {(r.id, r.band_id, r.band_hash) for r in minhash_bands(df, n_perm, bands).collect()}
+    assert got == expect and got
+
+
+def test_simhash_signature_equals_scalar_oracle(spark, docs):
+    """Vectorized simhash == per-doc frequency-weighted vote oracle."""
+    from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes
+    from metaprofi_spark.operators.dedup import simhash_signatures
+
+    sample = docs.limit(25).collect()
+    expect = {}
+    for r in sample:
+        toks = [t for t in r.text.lower().split() if t]
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = mmh2_64_bytes([t.encode() for t in uniq], [0])[:, 0]
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(j)
+        expect[r.doc_id] = int(sim.astype(np.int64))
+    df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in sample], "doc_id long, text string"
+    )
+    got = {r.id: r.simhash for r in simhash_signatures(df).collect()}
+    assert got == expect and got
+
+
 # ------------------------- similarity --------------------------------------
 
 def test_knn_quantized_topk(spark, embeddings):
