@@ -61,6 +61,12 @@ class SketchConfig:
             raise ValueError("h must be >= 1")
         if self.m < 8:
             raise ValueError("m must be >= 8")
+        if self.m % 8 != 0:
+            # the kernels mod by m_padded; the reference mods by UNPADDED
+            # m and pads only the packed bytes (utilities.py:257-265).
+            # Rejecting non-byte-multiple m removes the ambiguity rather
+            # than silently diverging from reference bit positions.
+            raise ValueError("m must be a multiple of 8 (position = hash % m)")
         if self.normalize not in ("lower", "none"):
             raise ValueError("normalize must be 'lower' or 'none'")
         if self.chunk_bits % 8 != 0:

@@ -71,7 +71,11 @@ class KLLSketch:
         if self.k != other.k:
             raise ValueError("cannot merge KLL sketches with different k")
         out = KLLSketch(self.k)
-        out._rng = self._rng
+        # derive the result's RNG from self's STATE, not the object —
+        # sharing the object would couple later compactions of the
+        # merged sketch to self's RNG stream (the .state getter returns
+        # a fresh dict, so this is a copy)
+        out._rng.bit_generator.state = self._rng.bit_generator.state
         height = max(len(self.compactors), len(other.compactors))
         out.compactors = [[] for _ in range(height)]
         for level in range(height):

@@ -293,16 +293,47 @@ def load_matrix(spark, path: str, cfg: SketchConfig | None = None):
     return spark.read.parquet(_os.path.join(path, "matrix")), stored, manifest
 
 
-def densify_samples(df: DataFrame, id_col: str) -> DataFrame:
+def densify_samples(df: DataFrame, id_col: str, num_partitions: int | None = None) -> DataFrame:
     """Assign a dense, deterministic sample_idx (0..n-1) ordered by id.
 
     The analog of the reference's row-aligned metadata dataset
-    (zarrstore.py:243-272).  Global sort shuffle — build-time only.
+    (zarrstore.py:243-272).
+
+    Scale shape (the zipWithIndex pattern, NOT a global-sort window):
+    range-partition by id, count rows per partition (a tiny driver
+    list, one row per partition), then rank within each partition and
+    add the partition's cumulative offset.  No single-task exchange —
+    every stage runs at full parallelism.  Determinism: Spark's range
+    partitioner samples with fixed per-partition seeds, so the two
+    passes see identical partitioning for a deterministic input.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col(id_col))
-    return df.withColumn("sample_idx", F.row_number().over(w) - F.lit(1))
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    # __pid is a materialized COLUMN here, so the window's hash exchange
+    # on it is a balanced per-partition-group shuffle, not a global sort
+    w = Window.partitionBy("__pid").orderBy(F.col(id_col))
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "sample_idx", F.col("__offset") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("__pid", "__offset")
+    )
 
 
 def matrix_summary(bf_df: DataFrame, cfg: SketchConfig) -> dict:

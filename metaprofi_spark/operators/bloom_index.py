@@ -84,11 +84,19 @@ def build_index(
         chunk_id, sbucket = int(key[0]), int(key[1])
         n = len(pdf)
         local = (pdf["sample_idx"].to_numpy() - sbucket * bucket).astype(np.int64)
-        contiguous = bool((local == np.arange(n)).all())
         mats = np.zeros((n, chunk_bytes), dtype=np.uint8)
         for i, b in enumerate(pdf["bf"]):
             a = np.frombuffer(b, dtype=np.uint8)
             mats[i, : len(a)] = a
+        # multiple rows per sample_idx (duplicate doc ids, or a doc split
+        # across rows) must OR together — a last-writer-wins scatter
+        # would drop bits and break the zero-false-negative guarantee
+        uniq, inv = np.unique(local, return_inverse=True)
+        if len(uniq) != n:
+            merged = np.zeros((len(uniq), chunk_bytes), dtype=np.uint8)
+            np.bitwise_or.at(merged, inv, mats)
+            mats, local, n = merged, uniq, len(uniq)
+        contiguous = bool((local == np.arange(n)).all())
         base_range = chunk_id * chunk_bits // rsize
         out_rid: list[int] = []
         out_bits: list[bytes] = []

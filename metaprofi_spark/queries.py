@@ -257,24 +257,29 @@ def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rank-based quantiles of n_chars (twin of kll_doclen_quantiles).
 
     rank = floor((n-1) * q_pct / 100) + 1 over (n_chars, doc_id) order —
-    integer math only, so Spark and DuckDB agree bit-for-bit.
+    integer math only, so Spark and DuckDB agree bit-for-bit.  The value
+    at a global rank depends only on the n_chars MULTISET (doc_id is
+    just a tiebreak), so the plan sorts the per-value HISTOGRAM, not the
+    corpus: groupBy(n_chars) count, cumulative count over the (small,
+    value-domain-bounded) histogram, then min value whose cumcount
+    covers each target rank.  No corpus-wide single-partition exchange.
     """
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
-    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
-    ranked = docs.select(
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    n = docs.count()
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
     pcts = spark.createDataFrame([(p,) for p in QUANTILE_PCTS], "q_pct int")
+    ranks = pcts.withColumn(
+        "rank", F.floor((F.lit(n) - 1) * F.col("q_pct") / 100) + 1
+    )
     return (
-        ranked.crossJoin(F.broadcast(pcts))
-        .filter(
-            F.col("rn") == F.floor((F.col("n") - 1) * F.col("q_pct") / 100) + 1
-        )
-        .select("q_pct", F.col("n_chars").alias("value"))
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_pct")
+        .agg(F.min("n_chars").alias("value"))
     )
 
 

@@ -169,6 +169,47 @@ def test_search_df_equals_search(spark, docs, index):
     assert a == b and a
 
 
+def test_index_duplicate_sample_rows_or_merged(spark):
+    """Two matrix rows with the SAME sample_idx must OR into the index
+    (last-writer-wins would drop bits => false negatives)."""
+    t1 = "abcdefghijklmnopqrstuvwxyz012345"
+    t2 = "zyxwvutsrqponmlkjihgfedcba987650"
+    df1 = spark.createDataFrame([(5, t1)], "doc_id long, text string")
+    df2 = spark.createDataFrame([(5, t2)], "doc_id long, text string")
+    bf = build_matrix(df1, CFG).unionByName(build_matrix(df2, CFG))
+    idx = build_index(bf, CFG, sample_bucket_size=BUCKET)
+    res = search(
+        spark, idx,
+        [("a", t1[: 3 * CFG.k]), ("b", t2[: 3 * CFG.k])],
+        CFG, 100, BUCKET,
+    )
+    got = {(r.query_id, r.sample_idx) for r in res.collect()}
+    assert ("a", 5) in got and ("b", 5) in got
+
+
+def test_config_rejects_non_byte_m():
+    with pytest.raises(ValueError):
+        SketchConfig(m=1 << 16 | 4)
+
+
+def test_densify_samples_dense_and_parallel(spark):
+    """sample_idx is 0..n-1 in id order, computed WITHOUT a global-sort
+    single-partition exchange."""
+    from metaprofi_spark.operators import densify_samples
+
+    rows = [(i * 7 + 3, f"t{i}") for i in range(501)]  # sparse, shuffled ids
+    import random
+
+    random.Random(5).shuffle(rows)
+    df = spark.createDataFrame(rows, "uid long, text string").repartition(8)
+    out = densify_samples(df, "uid", num_partitions=8)
+    got = {r.uid: r.sample_idx for r in out.collect()}
+    expect = {uid: i for i, (uid, _) in enumerate(sorted(rows))}
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_search_df_shuffle_join_equals_broadcast(spark, docs, index):
     """broadcast_queries=False (the million-read shape) == broadcast plan."""
     from metaprofi_spark.operators import search_df

@@ -214,3 +214,17 @@ def test_tdigest_agg_spark(spark, docs):
     est = td.quantile(0.5)
     true_rank = np.searchsorted(vals, est, side="right") / len(vals)
     assert abs(true_rank - 0.5) <= 0.05
+
+
+def test_kll_merge_does_not_mutate_input_rng():
+    """merge() derives the result's RNG from self's STATE (a copy) —
+    compactions in the merged sketch must not advance self's stream."""
+    a, b = KLLSketch(8), KLLSketch(8)
+    a.add(np.arange(100, dtype=np.float64))
+    b.add(np.arange(100, 200, dtype=np.float64))
+    state_before = a._rng.bit_generator.state
+    m = a.merge(b)
+    m.add(np.arange(5000, dtype=np.float64))  # forces compactions in m
+    assert a._rng.bit_generator.state == state_before
+    # and the merged sketch still answers sane quantiles
+    assert 0 <= m.quantile(0.5) <= 5000
