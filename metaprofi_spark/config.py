@@ -32,8 +32,14 @@ class SketchConfig:
         slice_buckets: number of partitions of the bit-sliced index
            (analog of calculate_index_chunksize, utilities.py:182-211).
         normalize: "lower" to casefold k-grams before hashing (the
-           canonical_kmer analog, bloomfilter_cython.pyx:272-306);
-           "none" = identity (the aminoacid path, pyx:114-129).
+           webtext default); "none" = identity (the aminoacid path,
+           pyx:114-129); "canonical" = reference nucleotide mode —
+           hash min(kmer, revcomp(kmer)) per window
+           (bloomfilter_cython.pyx:272-306).
+        sequence_type: "text" | "nucleotide" | "aminoacid" — recorded
+           in the store manifest so search() can decide whether a
+           nucleotide query against an aminoacid store needs six-frame
+           translation (search_index.py:107-141).
         slice_range_size: consecutive bit-slices stored per index row
            (a "slab") — the analog of the reference's index_chunk_rows
            (utilities.py:182-211).  At m=4e10 per-slice rows would be
@@ -53,6 +59,7 @@ class SketchConfig:
     normalize: str = "lower"
     chunk_bits: int = 1 << 20
     slice_range_size: int = 256
+    sequence_type: str = "text"
 
     def __post_init__(self) -> None:
         if self.k < 1:
@@ -67,8 +74,10 @@ class SketchConfig:
             # Rejecting non-byte-multiple m removes the ambiguity rather
             # than silently diverging from reference bit positions.
             raise ValueError("m must be a multiple of 8 (position = hash % m)")
-        if self.normalize not in ("lower", "none"):
-            raise ValueError("normalize must be 'lower' or 'none'")
+        if self.normalize not in ("lower", "none", "canonical"):
+            raise ValueError("normalize must be 'lower', 'none' or 'canonical'")
+        if self.sequence_type not in ("text", "nucleotide", "aminoacid"):
+            raise ValueError("sequence_type must be 'text', 'nucleotide' or 'aminoacid'")
         if self.chunk_bits % 8 != 0:
             raise ValueError("chunk_bits must be a byte multiple")
         if self.slice_buckets < 1:

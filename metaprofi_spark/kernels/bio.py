@@ -56,3 +56,21 @@ def six_frame_translation(seq: str, min_len: int = 1) -> list[str]:
         translate(rc[i:]) for i in range(3)
     ]
     return [f for f in frames if len(f) >= min_len]
+
+
+def six_frame_frames(seq: str, name: str, min_len: int) -> dict[str, str]:
+    """Named six-frame translation with the reference's frame-key layout
+    (translate_fasta.py:40-53: ``{name}_forward_reading_frame_{i}`` /
+    ``{name}_reverse_reading_frame_{i}``, frames < min_len dropped)."""
+    seq = seq.upper()
+    out: dict[str, str] = {}
+    for i in range(3):
+        f = translate(seq[i:])
+        if len(f) >= min_len:
+            out[f"{name}_forward_reading_frame_{i}"] = f
+    rc = revcomp(seq)
+    for i in range(3):
+        f = translate(rc[i:])
+        if len(f) >= min_len:
+            out[f"{name}_reverse_reading_frame_{i}"] = f
+    return out

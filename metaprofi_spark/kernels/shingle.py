@@ -10,7 +10,11 @@ document boundary.
 
 Normalization ("lower") is the webtext analog of canonical_kmer
 (pyx:272-306): a deterministic canonicalization applied before hashing;
-"none" is the identity path (the aminoacid branch, pyx:114-129).
+"none" is the identity path (the aminoacid branch, pyx:114-129);
+"canonical" is the reference's nucleotide mode — each window is
+replaced by min(window, revcomp(window)) using the pyx basemap
+(A<->T, C<->G, U->A, N->N, lowercase likewise; anything else
+complements to NUL), vectorized over the whole window matrix.
 """
 
 from __future__ import annotations
@@ -24,7 +28,11 @@ from metaprofi_spark.kernels.mmh2 import mmh2_64_windows
 
 
 def _encode_batch(texts: Iterable[str | None], k: int, normalize: str):
-    """UTF-8 encode a batch; returns (joined uint8 buffer, doc lens)."""
+    """UTF-8 encode a batch; returns (joined uint8 buffer, doc lens).
+
+    "canonical" normalization is per-WINDOW (min of window and its
+    reverse complement), so the buffer itself is encoded identity here
+    and canonicalized after windowing."""
     bufs = []
     lens = []
     for t in texts:
@@ -37,6 +45,30 @@ def _encode_batch(texts: Iterable[str | None], k: int, normalize: str):
         lens.append(len(b))
     joined = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     return joined, np.asarray(lens, dtype=np.int64)
+
+
+# the reference's canonical-kmer basemap (bloomfilter_cython.pyx:287):
+# A<->T, C<->G, U->A, N->N, lowercase a<->t / c<->g / u->a; every other
+# byte complements to NUL (which sorts first, exactly like the C code)
+_CANON_TABLE = np.zeros(256, dtype=np.uint8)
+for _a, _b in ((65, 84), (67, 71), (71, 67), (78, 78), (84, 65), (85, 65),
+               (97, 116), (99, 103), (103, 99), (116, 97), (117, 97)):
+    _CANON_TABLE[_a] = _b
+
+
+def canonicalize_windows(windows: np.ndarray) -> np.ndarray:
+    """min(window, revcomp(window)) per row, vectorized — T2 of
+    SURVEY.md §2.3 (bloomfilter_cython.pyx:272-306 semantics: byte-wise
+    lexicographic compare, ties keep the forward window)."""
+    if len(windows) == 0:
+        return windows
+    comp = _CANON_TABLE[windows][:, ::-1]
+    neq = windows != comp
+    any_neq = neq.any(axis=1)
+    first = np.where(any_neq, neq.argmax(axis=1), 0)
+    rows = np.arange(len(windows))
+    take_rc = windows[rows, first] > comp[rows, first]
+    return np.where(take_rc[:, None], comp, windows)
 
 
 def shingle_windows(
@@ -61,7 +93,10 @@ def shingle_windows(
     )
     starts = offsets[doc_idx] + within
     view = sliding_window_view(joined, k)
-    return doc_idx, view[starts]
+    windows = view[starts]
+    if normalize == "canonical":
+        windows = canonicalize_windows(np.ascontiguousarray(windows))
+    return doc_idx, windows
 
 
 _M = np.uint64(0xC6A4A7935BD1E995)
@@ -102,6 +137,16 @@ def shingle_positions(
             bloomfilter_cython.pyx:107-111)
     """
     seeds = np.asarray(seeds, dtype=np.uint64)
+    if normalize == "canonical":
+        # canonicalization rewrites window BYTES, so the zero-copy
+        # gather path below doesn't apply: materialize windows,
+        # canonicalize, hash the fixed-width matrix
+        doc_idx, windows = shingle_windows(texts, k, normalize)
+        if len(doc_idx) == 0:
+            return doc_idx, np.empty((0, len(seeds)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = mmh2_64_windows(windows, seeds) % np.uint64(m)
+        return doc_idx, h
     joined, lens = _encode_batch(texts, k, normalize)
     doc_idx, starts = _window_starts(lens, k)
     if len(doc_idx) == 0:

@@ -211,6 +211,7 @@ def search(
     threshold: int = 100,
     sample_bucket_size: int | None = None,
     sample_ids: list[int] | None = None,
+    seq_type: str | None = None,
 ) -> DataFrame:
     """Run exact (t=100) or thresholded membership search.
 
@@ -223,9 +224,22 @@ def search(
     sample-restricted lookup, search_index.py:549-553): index cells are
     pruned by sample_bucket BEFORE the AND stage, then results are
     filtered exactly.
+
+    ``seq_type="nucleotide"`` against an ``aminoacid`` store six-frame
+    translates every query (search_index.py:107-141): each reading
+    frame >= k becomes its own query named
+    ``{qid}_{forward|reverse}_reading_frame_{i}`` and is searched
+    independently, matching the reference's per-frame result blocks.
     """
     if not 0 < threshold <= 100:
         raise ValueError("threshold must be in (0, 100]")  # metaprofi_main.py:251-253
+    if seq_type == "nucleotide" and cfg.sequence_type == "aminoacid":
+        from metaprofi_spark.kernels.bio import six_frame_frames
+
+        translated: list[tuple[str, str]] = []
+        for qid, text in queries:
+            translated.extend(six_frame_frames(text, qid, cfg.k).items())
+        queries = translated
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     sb_size = slice_bucket_size(cfg)
     qpdf, n_kgrams = hash_queries(queries, cfg)
