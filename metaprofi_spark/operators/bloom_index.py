@@ -226,8 +226,31 @@ def build_index_fused(
 
 
 # ---------------------------------------------------------------------------
-# persistence: Iceberg-shaped parquet layout + manifest (config + lineage)
+# persistence: snapshot-segment parquet layout + atomic manifest commit
 # ---------------------------------------------------------------------------
+#
+# Layout (format_version 2):
+#     path/index/seg=u0/slice_bucket=N/...   base build
+#     path/index/seg=u1/slice_bucket=N/...   update snapshot 1
+#     path/manifest.json                     {segments: ["u0","u1",...]}
+#
+# The manifest's segment list is the COMMIT POINT (written tmp+rename,
+# atomic on POSIX — the analog of the reference's transactional attrs
+# bump, build_index_zarr.py:286-301).  An update writes its whole
+# segment dir with mode=overwrite first (idempotent on retry), then
+# commits by rewriting the manifest; a crash in between leaves an
+# orphan seg dir that the loader never reads and a retry overwrites.
+# `seg` doubles as a parquet partition column, so readers prune
+# uncommitted segments for free.
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    p = os.path.join(path, "manifest.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, p)  # atomic commit: readers see old or new, never half
+
 
 def persist_index(
     index_df: DataFrame,
@@ -241,22 +264,22 @@ def persist_index(
     """Write the index partitioned by slice_bucket + a JSON manifest.
 
     The manifest is the analog of the reference's store attrs
-    (zarrstore.py:243-272): config, sample count, update counter — the
+    (zarrstore.py:243-272): config, sample count, segment list — the
     contract checked on load (F8 guard).
     """
     index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
-        os.path.join(path, "index")
+        os.path.join(path, "index", "seg=u0")
     )
     manifest = {
         "config": json.loads(cfg.to_json()),
         "n_samples": int(n_samples),
         "sample_bucket_size": plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size),
         "update_count": 0,
-        "format_version": 1,
+        "segments": ["u0"],
+        "format_version": 2,
     }
     manifest.update(extra_meta or {})
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_manifest(path, manifest)
 
 
 def store_summary(spark: SparkSession, path: str) -> dict:
@@ -272,8 +295,12 @@ def store_summary(spark: SparkSession, path: str) -> dict:
     ).first()
     stored = 0
     idx_dir = os.path.join(path, "index")
-    for root, _dirs, files in os.walk(idx_dir):
-        stored += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    seg_dirs = [
+        os.path.join(idx_dir, f"seg={s}") for s in manifest.get("segments", [])
+    ] or [idx_dir]
+    for seg_dir in seg_dirs:  # committed segments only, orphans excluded
+        for root, _dirs, files in os.walk(seg_dir):
+            stored += sum(os.path.getsize(os.path.join(root, f)) for f in files)
     logical = int(agg["logical_bytes"] or 0)
     return {
         "config": json.loads(cfg.to_json()),
@@ -290,11 +317,22 @@ def store_summary(spark: SparkSession, path: str) -> dict:
 def load_index(
     spark: SparkSession, path: str, cfg: SketchConfig | None = None
 ) -> tuple[DataFrame, SketchConfig, dict]:
-    """Load an index store; refuse on config mismatch (search_index.py:77-97)."""
+    """Load an index store; refuse on config mismatch (search_index.py:77-97).
+
+    Only the manifest's COMMITTED segments are read — an orphan segment
+    dir left by a crashed update is invisible until its commit lands.
+    """
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     stored = SketchConfig(**manifest["config"])
     if cfg is not None:
         cfg.require_compatible(stored)
-    df = spark.read.parquet(os.path.join(path, "index"))
+    idx_dir = os.path.join(path, "index")
+    segments = manifest.get("segments")
+    if segments:
+        df = spark.read.option("basePath", idx_dir).parquet(
+            *[os.path.join(idx_dir, f"seg={s}") for s in segments]
+        )
+    else:  # format_version 1 stores (flat layout)
+        df = spark.read.parquet(idx_dir)
     return df, stored, manifest

@@ -18,7 +18,6 @@ build_index_zarr.py:262-283).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -75,11 +74,38 @@ def update_store(
     sample_bucket_size: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fail_before_commit: bool = False,
 ) -> dict:
-    """Persisted-store variant: append new slabs as new parquet files in
-    the same partitioned layout and bump the manifest (update_count,
-    n_samples) — a snapshot append, resumable and atomic per partition."""
-    old_df, stored_cfg, manifest = load_index(spark, path, cfg)
+    """Persisted-store variant: write the new slabs as a NEW SEGMENT
+    directory, then commit by atomically rewriting the manifest.
+
+    Crash-safe, exactly-once (the snapshot protocol the reference gets
+    from its Zarr transaction, build_index_zarr.py:286-301):
+      * the segment is written with mode=overwrite into its own
+        ``seg=uN`` dir — a retry after any crash rewrites the same
+        files instead of duplicating slabs;
+      * readers only see segments listed in the manifest, and the
+        manifest rewrite is tmp+os.replace (atomic on POSIX), so a
+        crash between data write and commit leaves the store readable
+        at the PREVIOUS snapshot;
+      * every committed update is recorded in lineage.json with
+        metrics, like build chunks (plans/lineage.py).
+
+    ``fail_before_commit`` injects a crash for the kill-between-steps
+    test.
+    """
+    import time
+
+    from metaprofi_spark.operators.bloom_index import _write_manifest
+    from metaprofi_spark.plans.lineage import read_lineage, _write_lineage
+
+    t0 = time.time()
+    _old_df, _stored_cfg, manifest = load_index(spark, path, cfg)
+    if not manifest.get("segments"):
+        raise ValueError(
+            "update_store requires a format_version>=2 segmented store; "
+            "rebuild with persist_index"
+        )
     bucket = manifest.get(
         "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     )
@@ -88,11 +114,22 @@ def update_store(
     n_new = shifted.count()
     bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
     new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
-    new_slabs.write.mode("append").partitionBy("slice_bucket").parquet(
-        os.path.join(path, "index")
+    seg = f"u{len(manifest['segments'])}"
+    new_slabs.write.mode("overwrite").partitionBy("slice_bucket").parquet(
+        os.path.join(path, "index", f"seg={seg}")
     )
+    if fail_before_commit:
+        raise RuntimeError("injected crash between segment write and commit")
+    manifest["segments"] = manifest["segments"] + [seg]
     manifest["n_samples"] = base + n_new
     manifest["update_count"] = manifest.get("update_count", 0) + 1
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_manifest(path, manifest)
+    lineage = read_lineage(path)
+    lineage.setdefault("updates", {})[seg] = {
+        "n_new_samples": int(n_new),
+        "sample_base": int(base),
+        "wall_sec": round(time.time() - t0, 3),
+        "ts": int(time.time()),
+    }
+    _write_lineage(path, lineage)
     return manifest

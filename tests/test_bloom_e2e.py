@@ -138,10 +138,11 @@ def test_persist_load_roundtrip(spark, docs, index, tmp_path):
     assert stored_cfg == CFG
     assert manifest["n_samples"] == docs.count()
     assert loaded.count() == index.count()
-    # partition pruning is real: parquet layout has slice_bucket=N dirs
+    # partition pruning is real: parquet layout has seg=/slice_bucket= dirs
     import os
 
-    assert any("slice_bucket=" in d for d in os.listdir(os.path.join(path, "index")))
+    seg_dir = os.path.join(path, "index", "seg=u0")
+    assert any("slice_bucket=" in d for d in os.listdir(seg_dir))
     # config mismatch refused
     with pytest.raises(ValueError):
         load_index(spark, path, SketchConfig(k=9))

@@ -67,6 +67,51 @@ def test_update_store_bumps_manifest(spark, docs, tmp_path):
         update_store(spark, path, rest, SketchConfig(k=9), BUCKET)
 
 
+def test_update_store_crash_between_write_and_commit(spark, docs, tmp_path):
+    """Kill-between-steps: a crash after the segment lands but before
+    the manifest commit leaves the store readable at the OLD snapshot;
+    a retry produces exactly the clean-update result (no duplicates)."""
+    import json
+
+    from metaprofi_spark.operators import load_index
+
+    path = str(tmp_path / "crashstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    old_rows = load_index(spark, path)[0].count()
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_store(spark, path, rest, CFG, BUCKET, fail_before_commit=True)
+    # orphan segment exists on disk but the store still reads OLD state
+    assert os.path.isdir(os.path.join(path, "index", "seg=u1"))
+    df_after_crash, _, m_after_crash = load_index(spark, path)
+    assert m_after_crash["segments"] == ["u0"]
+    assert m_after_crash["n_samples"] == BUCKET
+    assert df_after_crash.count() == old_rows
+    # retry commits; result equals a never-crashed update
+    manifest = update_store(spark, path, rest, CFG, BUCKET)
+    assert manifest["segments"] == ["u0", "u1"]
+    assert manifest["n_samples"] == docs.count()
+    clean = str(tmp_path / "cleanstore")
+    persist_index(idx, clean, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    update_store(spark, clean, rest, CFG, BUCKET)
+    a = {(r.range_id, r.sample_bucket, bytes(r.bits))
+         for r in load_index(spark, path)[0].collect()}
+    b = {(r.range_id, r.sample_bucket, bytes(r.bits))
+         for r in load_index(spark, clean)[0].collect()}
+    assert a == b
+    # no duplicate slabs after the retry
+    dup = load_index(spark, path)[0].count()
+    assert dup == len(a)
+    # update recorded in lineage with metrics
+    with open(os.path.join(path, "lineage.json")) as f:
+        lineage = json.load(f)
+    assert lineage["updates"]["u1"]["n_new_samples"] == docs.count() - BUCKET
+
+
 def test_resumable_build_recovers_from_crash(spark, docs, tmp_path):
     path = str(tmp_path / "resumable")
     bf = build_matrix(docs, CFG).cache()
