@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--m", type=int, default=1 << 20)
         sp.add_argument("--slice-buckets", type=int, default=64)
         sp.add_argument("--cores", default="*")
+        sp.add_argument("--normalize", default="lower",
+                        choices=["lower", "none", "canonical"])
+        sp.add_argument("--sequence-type", default="text",
+                        choices=["text", "nucleotide", "aminoacid"])
 
     b = sub.add_parser("build")
     common(b)
@@ -32,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--id-col", default="doc_id")
     b.add_argument("--text-col", default="text")
     b.add_argument("--sample-bucket-size", type=int, default=None)
+    b.add_argument("--group-col", default=None,
+                   help="file-level mode: one sample per GROUP of rows "
+                        "(the reference's `build`); omit for per-row "
+                        "mode (the reference's `build-seq`)")
 
     u = sub.add_parser("update")
     common(u)
@@ -46,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-f", "--file", help="parquet of (query_id, query_text)")
     s.add_argument("-t", "--threshold", type=int, default=100)
     s.add_argument("-o", "--output", help="write reference-format report")
+    s.add_argument("--seq-type", default=None,
+                   choices=["nucleotide", "aminoacid"],
+                   help="nucleotide queries against an aminoacid store "
+                        "are six-frame translated")
+    s.add_argument("--sample-ids", default=None,
+                   help="comma-separated sample ids to scope the search")
 
     m = sub.add_parser("summary")
     common(m)
@@ -63,13 +77,21 @@ def main(argv: list[str] | None = None) -> int:
         # chunk width: byte- and slab-aligned, capped at 2^20 bits
         chunk_bits=min((args.m + 2047) // 2048 * 2048, 1 << 20),
         slice_buckets=args.slice_buckets,
+        normalize=args.normalize, sequence_type=args.sequence_type,
     )
     try:
         if args.cmd == "build":
             docs = spark.read.parquet(args.input)
-            out = api.build(spark, docs, cfg, args.store,
-                            sample_bucket_size=args.sample_bucket_size,
-                            id_col=args.id_col, text_col=args.text_col)
+            if args.group_col:
+                out = api.build_grouped(
+                    spark, docs, cfg, args.store, group_col=args.group_col,
+                    sample_bucket_size=args.sample_bucket_size,
+                    text_col=args.text_col,
+                )
+            else:
+                out = api.build(spark, docs, cfg, args.store,
+                                sample_bucket_size=args.sample_bucket_size,
+                                id_col=args.id_col, text_col=args.text_col)
             print(json.dumps(out))
         elif args.cmd == "update":
             docs = spark.read.parquet(args.input)
@@ -84,8 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                 if not queries:
                     print("no queries given (-s or -f)", file=sys.stderr)
                     return 2
+            sample_ids = (
+                [int(x) for x in args.sample_ids.split(",")]
+                if args.sample_ids else None
+            )
             res = api.query(spark, args.store, queries, args.threshold,
-                            write_to_file=args.output)
+                            write_to_file=args.output,
+                            seq_type=args.seq_type, sample_ids=sample_ids)
             for r in res.collect():
                 print(f"{r.query_id}\t{r.sample_idx}\t{r.kgram_hits}/{r.n_kgrams}")
         elif args.cmd == "summary":

@@ -21,6 +21,8 @@ from metaprofi_spark.config import SketchConfig
 from metaprofi_spark.operators import (
     build_index,
     build_matrix,
+    build_matrix_grouped,
+    densify_samples,
     format_results,
     load_index,
     persist_index,
@@ -55,6 +57,41 @@ def build(
     return store_summary(spark, path)
 
 
+def build_grouped(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: SketchConfig,
+    path: str,
+    group_col: str,
+    sample_bucket_size: int | None = None,
+    text_col: str = "text",
+) -> dict:
+    """The reference's FILE-LEVEL `build` (one sample = all rows of a
+    group, metaprofi_main.py:148-181 / zarrstore.py:37-48), vs
+    :func:`build` which is the per-row `build-seq` mode.
+
+    Group keys are densified to a deterministic sample_idx (sorted key
+    order) and the (sample_idx -> group_key) dim table is persisted
+    next to the index as ``samples/`` — the J2 lookup surface.
+    """
+    bf = build_matrix_grouped(docs, cfg, group_col=group_col, text_col=text_col)
+    dim = densify_samples(bf.select("group_key").distinct(), "group_key").select(
+        "group_key", "sample_idx"
+    )
+    n = dim.count()
+    bfi = bf.join(dim, "group_key").select("sample_idx", "chunk_id", "bf")
+    idx = build_index(bfi, cfg, sample_bucket_size=sample_bucket_size)
+    persist_index(idx, path, cfg, n_samples=n, sample_bucket_size=sample_bucket_size,
+                  extra_meta={"group_col": group_col})
+    dim.write.mode("overwrite").parquet(f"{path}/samples")
+    return store_summary(spark, path)
+
+
+def samples_dim(spark: SparkSession, path: str) -> DataFrame:
+    """Load the (group_key, sample_idx) dim of a grouped store (J2)."""
+    return spark.read.parquet(f"{path}/samples")
+
+
 def update(
     spark: SparkSession,
     path: str,
@@ -74,16 +111,22 @@ def query(
     threshold: int = 100,
     cfg: SketchConfig | None = None,
     write_to_file: str | None = None,
+    seq_type: str | None = None,
+    sample_ids: list[int] | None = None,
 ) -> DataFrame:
     """`metaprofi search_index` analog; accepts a query list (single
     sequences, §3.2) or a DataFrame (file of queries, §3.3).  Optionally
-    writes the reference-format text report (S9)."""
+    writes the reference-format text report (S9).  ``seq_type`` /
+    ``sample_ids`` forward to :func:`search` (six-frame translation,
+    sample-scoped lookup)."""
     index_df, stored_cfg, manifest = load_index(spark, path, cfg)
     bucket = manifest["sample_bucket_size"]
     if isinstance(queries, DataFrame):
-        res = search_df(spark, index_df, queries, stored_cfg, threshold, bucket)
+        res = search_df(spark, index_df, queries, stored_cfg, threshold, bucket,
+                        sample_ids=sample_ids)
     else:
-        res = search(spark, index_df, queries, stored_cfg, threshold, bucket)
+        res = search(spark, index_df, queries, stored_cfg, threshold, bucket,
+                     sample_ids=sample_ids, seq_type=seq_type)
     if write_to_file:
         rows = res.collect()
         with open(write_to_file, "w") as f:

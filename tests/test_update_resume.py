@@ -295,3 +295,41 @@ def test_matrix_store_roundtrip(spark, docs, tmp_path):
     assert a == b
     with pytest.raises(ValueError):
         load_matrix(spark, path, SketchConfig(k=9))
+
+
+def test_api_build_grouped_lifecycle(spark, docs, tmp_path):
+    """File-level sample mode (the reference's `build`): one sample per
+    lang group, dim table persisted, group-scoped search works."""
+    from metaprofi_spark import api
+    from metaprofi_spark.kernels import or_reduce
+    from metaprofi_spark.operators import build_matrix
+
+    path = str(tmp_path / "groupstore")
+    s = api.build_grouped(spark, docs, CFG, path, group_col="lang",
+                          sample_bucket_size=BUCKET)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    assert s["n_samples"] == len(langs)
+    dim = {r.group_key: r.sample_idx for r in api.samples_dim(spark, path).collect()}
+    assert sorted(dim) == langs and sorted(dim.values()) == list(range(len(langs)))
+    # a substring of a doc must hit (at least) its lang's sample
+    r0 = docs.orderBy("doc_id").first()
+    res = api.query(spark, path, [("q", r0.text[: 5 * CFG.k])], 100, CFG)
+    assert dim[r0.lang] in {r.sample_idx for r in res.collect()}
+
+
+def test_cli_grouped_build_and_search(spark, docs, tmp_path, capsys):
+    from metaprofi_spark.__main__ import main
+
+    inp = str(tmp_path / "docs.parquet")
+    docs.limit(100).write.mode("overwrite").parquet(inp)
+    store = str(tmp_path / "clistore")
+    rc = main([
+        "build", "--input", inp, "--store", store, "--group-col", "lang",
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ])
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_samples"] >= 1
+    assert os.path.isdir(os.path.join(store, "samples"))
