@@ -291,6 +291,73 @@ def minhash_lsh_candidates(
     return cross.unionByName(intra)
 
 
+def near_dup_components(
+    df: DataFrame,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the LSH collision graph: (id, component),
+    component = min doc id reachable through shared-bucket edges.
+
+    This is the DEDUP-at-scale operator: listing candidate PAIRS is
+    quadratic in cluster size (a 1M-doc boilerplate cluster = 5*10^11
+    pairs), but dedup only needs the partition into clusters.  Two
+    linear-size ideas:
+
+    * STAR EDGES — per (band, bucket) emit (id -> bucket min id), i.e.
+      ``bands`` edges per doc, never pairs.  The star graph has exactly
+      the same connected components as the full pair graph.
+    * min-label propagation — each round: every node takes the min
+      component label among itself and its star neighbors (both
+      directions).  Converges in O(component diameter) rounds (dup
+      clusters are stars through their bucket minima, so usually 2-3);
+      each round is localCheckpointed to truncate the lineage, the
+      standard iterative-DataFrame pattern.
+    """
+    from pyspark.sql.window import Window
+
+    b = minhash_bands(df, n_perm, bands, id_col, text_col)
+    w = Window.partitionBy("band_id", "band_hash")
+    edges = (
+        b.withColumn("rep", F.min("id").over(w))
+        .filter(F.col("id") != F.col("rep"))
+        .select("id", "rep")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        b.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    )
+    for _ in range(max_iter):
+        via_rep = (
+            edges.join(labels.withColumnRenamed("id", "rep"), "rep")
+            .select("id", "comp")
+        )
+        via_member = (
+            edges.join(labels, "id").select(F.col("rep").alias("id"), "comp")
+        )
+        new_labels = (
+            via_rep.unionByName(via_member)
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash — Hamming-banded near-dup tier
 # ---------------------------------------------------------------------------

@@ -307,6 +307,20 @@ def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tdigest_doclen_centiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest sketch of n_chars.  The digest's total weight n is EXACT
+    (every value folds with weight 1), so the projection is
+    SQL-checkable; quantile accuracy bounds are asserted in
+    tests/test_sketches.py."""
+    from metaprofi_spark.functions.sketch_agg import tdigest_agg
+
+    docs = _docs(spark, sf_dir).withColumn("g", F.lit(1))
+    return tdigest_agg(docs, ["g"], "n_chars").select("g", "n")
+
+
+TDIGEST_DOCLEN_SQL = "SELECT 1 AS g, count(*) AS n FROM documents"
+
+
 def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 summary analog: corpus-level stats, fully SQL-checkable."""
     return _docs(spark, sf_dir).agg(
@@ -415,6 +429,17 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metaprofi_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_docs(spark, sf_dir), 64, 16)
+
+
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the LSH collision graph — the dedup
+    SCALE path (linear star edges + min-label propagation; candidate
+    pair listing is quadratic in cluster size and stays the oracle
+    tier).  Deterministic; equality with the pair graph's transitive
+    closure is pinned in tests/test_pipeline_ops.py."""
+    from metaprofi_spark.operators.dedup import near_dup_components
+
+    return near_dup_components(_docs(spark, sf_dir), 64, 16)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": cms_token_freq,
         "doclen_quantiles": doclen_quantiles,
         "kll_doclen_quantiles": kll_doclen_quantiles,
+        "tdigest_doclen_centiles": tdigest_doclen_centiles,
         "corpus_summary": corpus_summary,
         "text_stats": text_stats,
         "quality_scores": quality_scores,
@@ -596,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_groups": fingerprint_groups,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
+        "near_dup_groups": near_dup_groups,
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
@@ -625,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "user_sessions": USER_SESSIONS_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
+        "tdigest_doclen_centiles": TDIGEST_DOCLEN_SQL,
         "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
         # no SQL oracle (estimates / probabilistic / float-tree / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,

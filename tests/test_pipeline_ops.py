@@ -128,6 +128,48 @@ def test_minhash_candidates_equal_naive_band_join(spark, docs):
     assert set(got) == naive and naive
 
 
+def test_near_dup_components_chain_and_cluster(spark, docs):
+    """Components must equal the transitive closure of the pair graph:
+    identical clusters collapse, and CHAINS (a~b, b~c, a!~c) merge even
+    though a and c never share a bucket directly."""
+    from metaprofi_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_components,
+    )
+
+    base = [r.text for r in docs.limit(15).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        toks = t.split()
+        a = " ".join(toks)
+        mid = list(toks); mid[len(mid) // 3] = "CHAINMID"
+        c = list(mid); c[2 * len(c) // 3] = "CHAINEND"
+        rows.append((10 * i, a))
+        rows.append((10 * i + 1, a))              # identical twin
+        rows.append((10 * i + 2, " ".join(mid)))  # near a
+        rows.append((10 * i + 3, " ".join(c)))    # near mid, farther from a
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r.id: r.comp for r in near_dup_components(df, 64, 16).collect()}
+    # ground truth: transitive closure of the candidate pair graph
+    pairs = [(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, 64, 16).collect()]
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i, _ in rows}
+    assert comp == expect
+    # identical twins always share a component
+    assert all(comp[10 * i] == comp[10 * i + 1] for i in range(len(base)))
+
+
 def test_minhash_signature_equals_scalar_oracle(spark, docs):
     """The batch-vectorized signature kernel must equal the obvious
     per-doc formulation: band_hash = mmh2(min-over-tokens slice, seed=b)."""
