@@ -70,18 +70,23 @@ def bloom_build_job(cores: int, reps: int = 2) -> tuple[float, int]:
     """The scaling unit: matrix build + bit-sliced index transpose over
     the deterministic pages table.  Returns (min wall sec, insertions).
 
-    512-row Arrow batches keep each python worker's working set inside
-    shared cache; input coalesced to 4 partitions/core; a full warm-up
+    128-row Arrow batches keep each python worker's hash-stage working
+    set L2-resident — on this RAM-bandwidth-capped box that is worth
+    both ~1.4x absolute throughput AND the difference between ~0.5 and
+    ~0.85 parallel efficiency (A/B-measured, alternated sessions).  The
+    bucket shuffle lands on ~n_buckets partitions (one bucket per task:
+    no multi-bucket straggler, no empty-task overhead).  A full warm-up
     pass spawns workers and faults the parquet into page cache so reps
     measure steady state.
     """
     spark = get_spark(
         cores=cores, app_name=f"bench-build-{cores}",
         shuffle_partitions=max(2 * cores, 16),
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "512"},
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "128"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     insertions = count_insertions(spark)
+    n_buckets = (BENCH_DOCS + BENCH_BUCKET - 1) // BENCH_BUCKET
     # dense doc_id recovered from the url JVM-side (ids are 0..N-1 by
     # construction — no sort, no python udf)
     pages = spark.read.parquet(PAGES_PATH).withColumn(
@@ -89,11 +94,13 @@ def bloom_build_job(cores: int, reps: int = 2) -> tuple[float, int]:
     ).coalesce(4 * cores)
     # fused one-shuffle build (docs -> slabs; equals the two-stage
     # matrix|>index path, tested) — the headline build job
-    build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET).count()  # warm
+    build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET,
+                      shuffle_partitions=n_buckets).count()  # warm
     walls = []
     for _ in range(reps):
         t0 = time.time()
-        idx = build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET)
+        idx = build_index_fused(pages, BENCH_CFG, sample_bucket_size=BENCH_BUCKET,
+                                shuffle_partitions=n_buckets)
         n_index_rows = idx.count()
         walls.append(time.time() - t0)
         assert n_index_rows > 0
@@ -189,16 +196,36 @@ def main() -> None:
     # (JVM task thread + python worker per core), which a real
     # multi-executor cluster does not — each executor brings its own
     # memory channels.  BASELINE.md records the full 2..32 curve.
+    #
+    # Protocol (this VM's allotted CPU/bandwidth drifts on minute
+    # timescales): hi/lo runs are INTERLEAVED in back-to-back pairs,
+    # min-of-reps wall per side, and every pair's efficiency is
+    # recorded so the headline number is auditable.
     lo_cores, hi_cores = 2, 8
     scaling = {}
-    wall_hi, ins = bloom_build_job(hi_cores)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    walls_hi, walls_lo = [], []
+    ins = None
+    for _ in range(reps):
+        w_hi, ins = bloom_build_job(hi_cores, reps=1)
+        walls_hi.append(w_hi)
+        if RUN_SCALING:
+            w_lo, _ = bloom_build_job(lo_cores, reps=1)
+            walls_lo.append(w_lo)
+    wall_hi = min(walls_hi)
     tput_hi = ins / wall_hi
     scaling.update(cores_hi=hi_cores, sec_hi=round(wall_hi, 2),
-                   tput_hi=round(tput_hi, 0))
+                   tput_hi=round(tput_hi, 0),
+                   walls_hi=[round(w, 2) for w in walls_hi])
     if RUN_SCALING:
-        wall_lo, ins = bloom_build_job(lo_cores)
+        wall_lo = min(walls_lo)
         scaling.update(cores_lo=lo_cores, sec_lo=round(wall_lo, 2),
-                       tput_lo=round(ins / wall_lo, 0))
+                       tput_lo=round(ins / wall_lo, 0),
+                       walls_lo=[round(w, 2) for w in walls_lo])
+        scaling["pair_efficiencies"] = [
+            round((lo / hi) * (lo_cores / hi_cores), 3)
+            for hi, lo in zip(walls_hi, walls_lo)
+        ]
         scaling["efficiency"] = round(
             (scaling["tput_hi"] / scaling["tput_lo"]) / (hi_cores / lo_cores), 3
         )

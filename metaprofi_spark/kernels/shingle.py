@@ -161,23 +161,35 @@ def shingle_positions(
     n = len(starts)
     nblocks = k // 8
     tail_size = k & 7
+    # cache-resident window slices: the per-slice temporaries (kb, h)
+    # stay in L2, which is what lets this stage scale with cores on a
+    # RAM-bandwidth-limited box (see kernels/mmh2.py:_SLICE_ELEMS)
+    from metaprofi_spark.kernels.mmh2 import _SLICE_ELEMS
+
+    nseeds = len(seeds)
+    limit = max(_SLICE_ELEMS // max(nseeds, 1), 1024)
+    out = np.empty((n, nseeds), dtype=np.uint64)
     with np.errstate(over="ignore"):
         init = seeds ^ (_M * np.uint64(k))
-        h = np.broadcast_to(init, (n, len(seeds))).copy()
-        for b in range(nblocks):
-            kb = u64[starts + 8 * b]
-            kb *= _M
-            kb ^= kb >> _R
-            kb *= _M
-            h ^= kb[:, None]
+        mod = np.uint64(m)
+        for lo in range(0, n, limit):
+            s = starts[lo : lo + limit]
+            h = np.broadcast_to(init, (len(s), nseeds)).copy()
+            for b in range(nblocks):
+                kb = u64[s + 8 * b]
+                kb *= _M
+                kb ^= kb >> _R
+                kb *= _M
+                h ^= kb[:, None]
+                h *= _M
+            if tail_size:
+                mask = np.uint64((1 << (8 * tail_size)) - 1)
+                kt = u64[s + 8 * nblocks] & mask
+                h ^= kt[:, None]
+                h *= _M
+            h ^= h >> _R
             h *= _M
-        if tail_size:
-            mask = np.uint64((1 << (8 * tail_size)) - 1)
-            kt = u64[starts + 8 * nblocks] & mask
-            h ^= kt[:, None]
-            h *= _M
-        h ^= h >> _R
-        h *= _M
-        h ^= h >> _R
-        h %= np.uint64(m)
-    return doc_idx, h
+            h ^= h >> _R
+            h %= mod
+            out[lo : lo + limit] = h
+    return doc_idx, out

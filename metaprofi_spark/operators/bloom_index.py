@@ -146,6 +146,7 @@ def build_index_fused(
     id_col: str = "doc_id",
     text_col: str = "text",
     slice_block: int = 1 << 13,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """One-shuffle, zero-intermediate build: docs -> slabs directly.
 
@@ -215,8 +216,20 @@ def build_index_fused(
                 }
             )
 
+    # Every sample_bucket must land WHOLLY in one task (fn accumulates a
+    # full per-bucket matrix), so the shuffle keys on the bucket id.
+    # The partition count is a balance knob: measured A/B on this box,
+    # ~n_buckets partitions beats far more (per-task Arrow/worker
+    # overhead dominates empties) and far fewer (multi-bucket straggler
+    # tasks become the wall-clock).  Default to the session's shuffle
+    # parallelism; callers that know their bucket count can pass it.
+    spark = docs.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     shuffled = docs.select(id_col, text_col).repartition(
-        F.floor(F.col(id_col) / F.lit(bucket))
+        shuffle_partitions, F.floor(F.col(id_col) / F.lit(bucket))
     )
     idx = shuffled.mapInPandas(fn, INDEX_SCHEMA)
     return idx.withColumn(
