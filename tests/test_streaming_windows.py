@@ -1,0 +1,98 @@
+"""Structured-Streaming windowed rollup + stateful sessionization."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaprofi_spark.streaming.windows import hourly_event_rollup, sessionize_stream
+from tests.conftest import SF_DIR
+
+GAP_MIN = 30
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+
+
+def _stream_from(spark, events, tmp_path, name):
+    src = str(tmp_path / name)
+    events.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(events.schema).parquet(src)
+
+
+def test_hourly_rollup_stream_equals_batch(spark, events, tmp_path):
+    stream = _stream_from(spark, events, tmp_path, "ev_roll")
+    q = (
+        hourly_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("roll")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_e6)
+        for r in spark.sql("select * from roll").collect()
+    }
+    expect = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_e6)
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
+        )
+        .collect()
+    }
+    assert got == expect and got
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, events, tmp_path):
+    # expected: per-user gap-split sessions, batch-side; the LAST session
+    # of each user stays open in state (no timeout fires in-test)
+    rows = events.select("user_id", F.col("ts").cast("timestamp").cast("long").alias("t")).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.t)
+    expect = set()
+    for uid, ts in by_user.items():
+        ts.sort()
+        sessions = []
+        start, last, n = ts[0], ts[0], 0
+        for t in ts:
+            if t - last > GAP_MIN * 60:
+                sessions.append((uid, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        # final session stays open — excluded
+        expect.update(sessions)
+    assert expect, "fixture has no closed sessions; pick a bigger gap corpus"
+
+    stream = _stream_from(spark, events, tmp_path, "ev_sess")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        sessionize_stream(stream, gap_minutes=GAP_MIN)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+        )
+        for r in spark.sql("select * from sess").collect()
+    }
+    assert got == expect
