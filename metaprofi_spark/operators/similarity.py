@@ -198,30 +198,13 @@ def lsh_bucket_ids(
     )
 
 
-def ann_lsh_topk(
-    df: DataFrame,
-    query_ids: list[int],
-    dim: int,
-    k: int = 10,
-    n_bits: int = 10,
-    n_tables: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _rerank_candidates(
+    cand: DataFrame, df: DataFrame, k: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Approximate top-k: LSH bucket join -> exact cosine re-rank
-    within candidates.  Recall measured against brute force in tests."""
+    """Exact cosine re-rank of (query_id, neighbor_id) candidate pairs
+    (shared by the LSH and IVF paths)."""
     from pyspark.sql.window import Window
 
-    buckets = lsh_bucket_ids(df, dim, n_bits, n_tables, id_col, vec_col)
-    qb = buckets.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), "table_id", "bucket"
-    )
-    cand = (
-        buckets.join(F.broadcast(qb), ["table_id", "bucket"])
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-        .distinct()
-    )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     qv = vecs.withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
     cv = vecs.withColumnsRenamed({id_col: "neighbor_id", vec_col: "cv"})
@@ -241,3 +224,130 @@ def ann_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join -> exact cosine re-rank
+    within candidates.  Recall measured against brute force in tests."""
+    buckets = lsh_bucket_ids(df, dim, n_bits, n_tables, id_col, vec_col)
+    qb = buckets.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    return _rerank_candidates(cand, df, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF — coarse-quantizer ANN (the inverted-file scale path)
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    n_iter: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a BOUNDED sample
+    (n_centroids*256 vectors by default, deterministic id order) — the
+    standard IVF recipe: training is driver-side on a fixed-size sample
+    regardless of corpus size; assignment is distributed."""
+    sample_size = sample_size or n_centroids * 256
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — distributed nearest-centroid assignment (one matmul
+    per Arrow batch against the broadcast centroid matrix)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def fn(batches):
+        C = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            cell = (mat @ C.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": pd.array(cell, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, "id long, cell int")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid, each
+    query probes its ``nprobe`` closest cells, exact cosine re-rank
+    inside the probed cells.  Scan fraction ~= nprobe/n_centroids — the
+    inverted-file scale path next to ann_lsh_topk.  Recall vs brute
+    force is measured in tests."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # probe cells for each query (bounded: len(query_ids) x dim driver math)
+    qrows = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    sims = Q @ centroids.T
+    probes = np.argsort(-sims, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(r[0]), int(c)) for r, cells in zip(qrows, probes) for c in cells
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    return _rerank_candidates(cand, df, k, id_col, vec_col)

@@ -471,6 +471,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, KNN_QUERY_IDS, dim=64, k=KNN_K, n_bits=4, n_tables=24)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: spherical
+    k-means coarse quantizer, nprobe cells scanned per query, exact
+    re-rank (recall vs brute force asserted in tests; no SQL oracle)."""
+    from metaprofi_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, nprobe=8)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode/feature plumbing (deterministic fake decoder
     — stable across partitionings; no SQL oracle).
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
         "embedding_near_dup": embedding_near_dup,

@@ -252,6 +252,33 @@ def test_ann_lsh_recall_vs_brute_force(spark, embeddings):
     assert float(np.mean(recalls)) >= 0.5, recalls  # ANN tradeoff, bounded below
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, embeddings):
+    from metaprofi_spark.operators.similarity import ann_ivf_topk, ivf_assign, train_ivf_centroids
+
+    qids = [0, 1, 2, 3, 4]
+    brute = knn_topk_cosine(embeddings, qids, k=10).collect()
+    approx = ann_ivf_topk(embeddings, qids, k=10, n_centroids=16, nprobe=8).collect()
+    bset, aset = {}, {}
+    for r in brute:
+        bset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        aset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(bset[q] & aset.get(q, set())) / 10 for q in qids]
+    assert float(np.mean(recalls)) >= 0.5, recalls
+    # probing ALL cells must recover brute force exactly (sanity: the
+    # IVF partition covers the corpus)
+    full = ann_ivf_topk(embeddings, qids, k=10, n_centroids=16, nprobe=16).collect()
+    fset = {}
+    for r in full:
+        fset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert fset == bset
+    # every vector lands in exactly one cell
+    cents = train_ivf_centroids(embeddings, 16)
+    assigned = ivf_assign(embeddings, cents)
+    assert assigned.count() == embeddings.count()
+    assert assigned.select("id").distinct().count() == embeddings.count()
+
+
 # ------------------------- text functions ----------------------------------
 
 def test_text_functions(spark):
