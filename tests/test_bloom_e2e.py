@@ -170,6 +170,36 @@ def test_search_df_equals_search(spark, docs, index):
     assert a == b and a
 
 
+def test_search_plan_prunes_partitions_and_columns(spark, docs, tmp_path):
+    """Scale properties pinned in the PHYSICAL PLAN: a search over a
+    persisted store must (a) prune parquet partitions to the
+    slice_buckets its hash positions live in, and (b) scan only the
+    columns it needs (column pruning through the whole plan)."""
+    path = str(tmp_path / "planstore")
+    persist_index(
+        build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET),
+        path, CFG, n_samples=docs.count(), sample_bucket_size=BUCKET,
+    )
+    from metaprofi_spark.operators import load_index
+
+    loaded, _, manifest = load_index(spark, path, CFG)
+    r0 = docs.orderBy("doc_id").first()
+    res = search(spark, loaded, [("q", r0.text[: 3 * CFG.k])],
+                 CFG, 100, manifest["sample_bucket_size"])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "slice_bucket" in plan, plan
+    # column pruning: the parquet scan reads exactly the data columns
+    assert "ReadSchema: struct<range_id:bigint,sample_bucket:int,bits:binary>" in plan, plan
+
+
+def test_build_matrix_plan_prunes_columns(spark, docs):
+    """The build scan reads ONLY (doc_id, text) — lang/url/n_chars are
+    pruned at the parquet reader."""
+    bf = build_matrix(docs, CFG)
+    plan = bf._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_index_duplicate_sample_rows_or_merged(spark):
     """Two matrix rows with the SAME sample_idx must OR into the index
     (last-writer-wins would drop bits => false negatives)."""
