@@ -192,10 +192,12 @@ def test_search_plan_prunes_partitions_and_columns(spark, docs, tmp_path):
     assert "ReadSchema: struct<range_id:bigint,sample_bucket:int,bits:binary>" in plan, plan
 
 
-def test_build_matrix_plan_prunes_columns(spark, docs):
-    """The build scan reads ONLY (doc_id, text) — lang/url/n_chars are
-    pruned at the parquet reader."""
-    bf = build_matrix(docs, CFG)
+def test_build_matrix_plan_prunes_columns(spark):
+    """The build scan reads ONLY (doc_id, text) — lang/source/n_chars
+    are pruned at the parquet reader.  (Must use an UNCACHED read: a
+    .cache()'d source always scans every column to fill the cache.)"""
+    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bf = build_matrix(fresh, CFG)
     plan = bf._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
