@@ -192,12 +192,14 @@ def test_search_plan_prunes_partitions_and_columns(spark, docs, tmp_path):
     assert "ReadSchema: struct<range_id:bigint,sample_bucket:int,bits:binary>" in plan, plan
 
 
-def test_build_matrix_plan_prunes_columns(spark):
+def test_build_matrix_plan_prunes_columns(spark, docs, tmp_path):
     """The build scan reads ONLY (doc_id, text) — lang/source/n_chars
-    are pruned at the parquet reader.  (Must use an UNCACHED read: a
-    .cache()'d source always scans every column to fill the cache.)"""
-    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    bf = build_matrix(fresh, CFG)
+    are pruned at the parquet reader.  (Needs a path no fixture has
+    .cache()'d: the cache manager substitutes any same-path read, and a
+    cache-population scan always reads every column.)"""
+    path = str(tmp_path / "plaindocs.parquet")
+    docs.write.mode("overwrite").parquet(path)
+    bf = build_matrix(spark.read.parquet(path), CFG)
     plan = bf._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
