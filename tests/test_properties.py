@@ -143,3 +143,23 @@ def test_cms_merge_tree_shape_irrelevant(pairs, seed):
     for t in tables[1:]:
         merged = C.cms_merge(merged, t)
     assert (merged == one).all()
+
+
+@given(
+    st.lists(st.binary(min_size=6, max_size=6), min_size=1, max_size=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_windows_matches_scalar(windows_bytes):
+    """Vectorized canonical k-mer == per-row basemap min(kmer, revcomp)
+    for ARBITRARY bytes (not just ACGT)."""
+    from metaprofi_spark.kernels.shingle import canonicalize_windows
+
+    table = {65: 84, 67: 71, 71: 67, 78: 78, 84: 65, 85: 65,
+             97: 116, 99: 103, 103: 99, 116: 97, 117: 97}
+    mat = np.frombuffer(b"".join(windows_bytes), dtype=np.uint8).reshape(
+        len(windows_bytes), 6
+    )
+    got = canonicalize_windows(mat.copy())
+    for i, w in enumerate(windows_bytes):
+        rc = bytes(table.get(b, 0) for b in reversed(w))
+        assert bytes(got[i]) == min(w, rc), w
