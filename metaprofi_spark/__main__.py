@@ -66,10 +66,16 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from metaprofi_spark import SketchConfig, api
     from metaprofi_spark.plans.session import get_spark
 
     cores = args.cores if args.cores == "*" else int(args.cores)
+    # stop only a session WE created — when embedded (tests, notebooks)
+    # getOrCreate returns the caller's session and stopping it would
+    # pull the JVM out from under them
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(cores=cores, app_name=f"metaprofi-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
     cfg = SketchConfig(
@@ -118,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "summary":
             print(json.dumps(api.summary(spark, args.store)))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -333,3 +333,36 @@ def test_cli_grouped_build_and_search(spark, docs, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_samples"] >= 1
     assert os.path.isdir(os.path.join(store, "samples"))
+
+
+def test_cli_search_with_scoping(spark, docs, tmp_path, capsys):
+    from metaprofi_spark.__main__ import main
+
+    inp = str(tmp_path / "docs2.parquet")
+    docs.limit(60).write.mode("overwrite").parquet(inp)
+    store = str(tmp_path / "clistore2")
+    rc = main([
+        "build", "--input", inp, "--store", store,
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    probe = docs.orderBy("doc_id").first().text[:40]
+    rc = main([
+        "search", "--store", store, "-s", probe, "-t", "100",
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("q0\t")]
+    hits = {int(l.split("\t")[1]) for l in lines}
+    assert 0 in hits
+    # scoped to an id set excluding doc 0 -> doc 0 disappears
+    rc = main([
+        "search", "--store", store, "-s", probe, "-t", "100",
+        "--sample-ids", "1,2,3",
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("q0\t")]
+    scoped = {int(l.split("\t")[1]) for l in lines}
+    assert 0 not in scoped and scoped <= {1, 2, 3}
