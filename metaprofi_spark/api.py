@@ -23,7 +23,6 @@ from metaprofi_spark.operators import (
     build_matrix,
     build_matrix_grouped,
     densify_samples,
-    format_results,
     load_index,
     persist_index,
     search,
@@ -128,9 +127,9 @@ def query(
         res = search(spark, index_df, queries, stored_cfg, threshold, bucket,
                      sample_ids=sample_ids, seq_type=seq_type)
     if write_to_file:
-        rows = res.collect()
-        with open(write_to_file, "w") as f:
-            f.write(format_results(rows, threshold))
+        from metaprofi_spark.operators.bloom_search import write_results_stream
+
+        write_results_stream(res, write_to_file, threshold)
     return res
 
 

@@ -61,6 +61,27 @@ def format_results(rows, threshold: int) -> str:
     return "\n".join(out) + ("\n" if out else "")
 
 
+def write_results_stream(res: DataFrame, path: str, threshold: int) -> None:
+    """S9 results sink, STREAMED: identical layout to
+    :func:`format_results` but written via ``toLocalIterator`` so the
+    driver never holds the full result set (the reference writes one
+    report file too, search_index.py:614-660 — at corpus scale the
+    report is the only full materialization left, so it is streamed)."""
+    with open(path, "w") as f:
+        current = None
+        for r in res.orderBy("query_id", "sample_idx").toLocalIterator():
+            if r.query_id != current:
+                current = r.query_id
+                f.write(f"Query: {current}\n")
+            if threshold == 100:
+                f.write(f"\t{r.sample_idx}\n")
+            else:
+                f.write(
+                    f"\t{r.sample_idx}, Number of kmers found: "
+                    f"{r.kgram_hits} ({r.pct:.2f}%)\n"
+                )
+
+
 def parse_results(text: str) -> dict[str, list[dict]]:
     """S10 results parser (utilities.py:655-733): report -> dict."""
     out: dict[str, list[dict]] = {}

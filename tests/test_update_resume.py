@@ -366,3 +366,25 @@ def test_cli_search_with_scoping(spark, docs, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("q0\t")]
     scoped = {int(l.split("\t")[1]) for l in lines}
     assert 0 not in scoped and scoped <= {1, 2, 3}
+
+
+def test_streamed_report_equals_format_results(spark, docs, tmp_path):
+    """write_results_stream output must be byte-identical to the
+    collected format_results layout (and parse back)."""
+    from metaprofi_spark.operators import parse_results
+    from metaprofi_spark.operators.bloom_search import (
+        format_results,
+        write_results_stream,
+    )
+
+    idx = build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").limit(2).collect()
+    queries = [(f"q{r.doc_id}", r.text[: 5 * CFG.k]) for r in probe]
+    for t in (100, 40):
+        res = search(spark, idx, queries, CFG, t, BUCKET)
+        path = str(tmp_path / f"report{t}.txt")
+        write_results_stream(res, path, t)
+        streamed = open(path).read()
+        collected = format_results(res.collect(), t)
+        assert streamed == collected
+        assert parse_results(streamed) == parse_results(collected)
