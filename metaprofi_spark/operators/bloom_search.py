@@ -106,7 +106,9 @@ def parse_results(text: str) -> dict[str, list[dict]]:
 def hash_queries(
     queries: list[tuple[str, str]], cfg: SketchConfig
 ) -> tuple[pd.DataFrame, dict[str, int]]:
-    """Shingle+hash query texts on the driver (numpy kernel, T8 analog).
+    """Shingle+hash query texts, fully vectorized over the batch (T8
+    analog — this also runs inside ``mapInPandas`` for query FILES, so
+    no per-query python is allowed here).
 
     Identical k-grams within a query are deduplicated with a ``weight``
     (the reference counts every occurrence, search_index.py:535 — the
@@ -116,36 +118,53 @@ def hash_queries(
 
     Returns (hash rows pdf, {query_id: total k-gram occurrences}).
     """
-    rows_qid: list[str] = []
-    rows_kg: list[int] = []
-    rows_w: list[int] = []
-    rows_ns: list[int] = []
-    rows_slice: list[int] = []
-    n_kgrams: dict[str, int] = {}
-    for qid, text in queries:
-        _, windows = shingle_windows([text], cfg.k, cfg.normalize)
-        n_kgrams[qid] = len(windows)
-        if len(windows) == 0:
-            continue
-        uniq, counts = np.unique(windows, axis=0, return_counts=True)
-        pos = mmh2_64_windows(uniq, np.asarray(cfg.seeds, dtype=np.uint64)) % np.uint64(
-            cfg.m_padded
-        )
-        for i in range(len(uniq)):
-            distinct = np.unique(pos[i])
-            for sl in distinct:
-                rows_qid.append(qid)
-                rows_kg.append(i)
-                rows_w.append(int(counts[i]))
-                rows_ns.append(len(distinct))
-                rows_slice.append(int(sl))
+    qids = [q for q, _ in queries]
+    texts = [t for _, t in queries]
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.array([], dtype="string"),
+            "kgram_idx": pd.array([], dtype="int32"),
+            "weight": pd.array([], dtype="int32"),
+            "n_slices": pd.array([], dtype="int32"),
+            "slice_id": pd.array([], dtype="int64"),
+        }
+    )
+    doc_idx, windows = shingle_windows(texts, cfg.k, cfg.normalize)
+    counts_per_q = np.bincount(doc_idx, minlength=len(queries))
+    n_kgrams = {qid: int(c) for qid, c in zip(qids, counts_per_q)}
+    if len(doc_idx) == 0:
+        return empty, n_kgrams
+    # unique (query, window) rows with occurrence counts — one sort for
+    # the whole batch.  np.unique(axis=0) sorts lexicographically with
+    # the query index leading, so within each query the unique windows
+    # come out in the same sorted order np.unique would give per query.
+    qbytes = doc_idx.astype(">i8").view(np.uint8).reshape(len(doc_idx), 8)
+    rows = np.concatenate([qbytes, windows], axis=1)
+    uniq, ucounts = np.unique(rows, axis=0, return_counts=True)
+    uq = uniq[:, :8].copy().view(">i8").reshape(-1)  # query index per unique row
+    uwindows = np.ascontiguousarray(uniq[:, 8:])
+    # per-query kgram_idx = rank within the query's unique-window run
+    qstarts = np.concatenate(([0], np.nonzero(uq[1:] != uq[:-1])[0] + 1))
+    kgram_idx = np.arange(len(uq)) - np.repeat(
+        qstarts, np.diff(np.concatenate((qstarts, [len(uq)])))
+    )
+    pos = mmh2_64_windows(uwindows, np.asarray(cfg.seeds, dtype=np.uint64)) % np.uint64(
+        cfg.m_padded
+    )
+    # distinct slices per k-gram: sort the h values per row, keep firsts
+    sortpos = np.sort(pos.astype(np.int64), axis=1)
+    keep = np.ones(sortpos.shape, dtype=bool)
+    keep[:, 1:] = sortpos[:, 1:] != sortpos[:, :-1]
+    n_slices_row = keep.sum(axis=1).astype(np.int32)
+    reps = n_slices_row.astype(np.int64)
+    qid_arr = np.asarray(qids, dtype=object)
     pdf = pd.DataFrame(
         {
-            "query_id": pd.array(rows_qid, dtype="string"),
-            "kgram_idx": pd.array(rows_kg, dtype="int32"),
-            "weight": pd.array(rows_w, dtype="int32"),
-            "n_slices": pd.array(rows_ns, dtype="int32"),
-            "slice_id": pd.array(rows_slice, dtype="int64"),
+            "query_id": pd.array(np.repeat(qid_arr[uq], reps), dtype="string"),
+            "kgram_idx": pd.array(np.repeat(kgram_idx, reps).astype(np.int32), dtype="int32"),
+            "weight": pd.array(np.repeat(ucounts, reps).astype(np.int32), dtype="int32"),
+            "n_slices": pd.array(np.repeat(n_slices_row, reps), dtype="int32"),
+            "slice_id": pd.array(sortpos[keep], dtype="int64"),
         }
     )
     return pdf, n_kgrams

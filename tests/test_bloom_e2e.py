@@ -286,3 +286,26 @@ def test_fused_build_equals_two_stage(spark, docs):
     a = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in fused.collect()}
     b = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in two.collect()}
     assert a == b and a
+
+
+def test_hash_queries_vectorized_semantics():
+    """Batch-vectorized hash_queries: weights count k-gram OCCURRENCES,
+    n_slices counts DISTINCT positions per k-gram, kgram_idx is the
+    per-query sorted-unique rank, zero-window queries still appear in
+    the totals dict."""
+    from metaprofi_spark.operators.bloom_search import hash_queries
+
+    cfg = SketchConfig(k=3, h=2, m=1 << 16, chunk_bits=1 << 13, slice_buckets=4)
+    pdf, n_kgrams = hash_queries(
+        [("dup", "abcabcabc"), ("tiny", "ab"), ("one", "xyz")], cfg
+    )
+    assert n_kgrams == {"dup": 7, "tiny": 0, "one": 1}
+    dup = pdf[pdf["query_id"] == "dup"]
+    # unique windows of "abcabcabc": abc(x3), bca(x2), cab(x2), sorted
+    w = {int(k): int(v) for k, v in zip(dup["kgram_idx"], dup["weight"])}
+    assert w == {0: 3, 1: 2, 2: 2}
+    for _, row in dup.iterrows():
+        grp = dup[dup["kgram_idx"] == row["kgram_idx"]]
+        assert (grp["n_slices"] == len(grp)).all()
+        assert grp["slice_id"].is_unique
+    assert set(pdf["query_id"]) == {"dup", "one"}
