@@ -34,6 +34,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pre-tokenizer regex, simplified to the RE2-compatible
+# subset (no lookahead) so Spark (Java regex) and DuckDB (RE2) match
+# token-for-token: contraction suffixes, space-prefixed letter runs,
+# digit runs, and punctuation runs.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish subword pre-tokens (the unit LLM tokenizers count)."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens_col(text))
+
+
 def normalize_text(text: Column) -> Column:
     """Frozen normalization: lowercase + collapse whitespace + trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

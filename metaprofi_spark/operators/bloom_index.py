@@ -155,7 +155,11 @@ def build_index_fused(
     3-10x smaller) and runs shingle+hash+set-bits+SWAR-transpose inside
     a single task per bucket — no per-doc filter rows ever materialize.
     Equivalent output to build_matrix|>build_index (tested); use the
-    two-stage path when the matrix store itself is wanted (S6).
+    two-stage path when the matrix store itself is wanted (S6), or when
+    n_samples / sample_bucket_size < cores — the fused build's
+    parallelism is bounded by the BUCKET count (a 5k-doc corpus with
+    4k-wide buckets is 2 tasks), while the two-stage matrix map
+    parallelizes across all input splits.
     """
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     width_bytes = (bucket + 7) // 8

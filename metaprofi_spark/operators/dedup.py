@@ -358,6 +358,27 @@ def near_dup_components(
     return labels
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end dedup pipeline: keep ONE representative (the min
+    id) per near-dup component; rows that produce no tokens can't be
+    near-dups and are kept as-is.  Composes exact + near dedup in one
+    call — the corpus-cleaning entry point."""
+    labels = near_dup_components(df, n_perm, bands, id_col, text_col)
+    reps = labels.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    unlabeled = df.join(
+        labels.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return df.join(reps, id_col, "left_semi").unionByName(unlabeled)
+
+
 # ---------------------------------------------------------------------------
 # SimHash — Hamming-banded near-dup tier
 # ---------------------------------------------------------------------------

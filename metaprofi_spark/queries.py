@@ -347,13 +347,19 @@ FROM documents
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token count, punctuation chars, stopword hits, language-ID
     heuristic — all integer/string outputs (bit-exact vs the oracle)."""
-    from metaprofi_spark.functions.text import lang_id, lang_scores, token_count
+    from metaprofi_spark.functions.text import (
+        bpe_token_count,
+        lang_id,
+        lang_scores,
+        token_count,
+    )
 
     docs = _docs(spark, sf_dir)
     scores = lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tok"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
         F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).alias("n_punct"),
         scores["en"].alias("s_en"),
         scores["de"].alias("s_de"),
@@ -370,6 +376,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tok,
+       len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe,
        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
        len(list_intersect(dtoks, ['the','and','of','to','a','in','is','that','it','for'])) AS s_en,
        len(list_intersect(dtoks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,

@@ -170,6 +170,24 @@ def test_near_dup_components_chain_and_cluster(spark, docs):
     assert all(comp[10 * i] == comp[10 * i + 1] for i in range(len(base)))
 
 
+def test_drop_near_duplicates_keeps_one_per_component(spark, docs):
+    from metaprofi_spark.operators.dedup import drop_near_duplicates, near_dup_components
+
+    base = [r.text for r in docs.limit(10).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((3 * i, t))
+        rows.append((3 * i + 1, t))  # twin
+        rows.append((3 * i + 2, t + " extratok"))  # near
+    rows.append((999, ""))  # token-less: must survive
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in drop_near_duplicates(df).collect()}
+    comps = {r.id: r.comp for r in near_dup_components(df).collect()}
+    expect = set(comps.values()) | {999}
+    assert kept == expect
+    assert 999 in kept and len(kept) < len(rows)
+
+
 def test_minhash_signature_equals_scalar_oracle(spark, docs):
     """The batch-vectorized signature kernel must equal the obvious
     per-doc formulation: band_hash = mmh2(min-over-tokens slice, seed=b)."""
@@ -306,6 +324,28 @@ def test_text_functions(spark):
     assert rows[4].n_tok == 0
     assert rows[1].fp != rows[2].fp and len(rows[1].fp) == 32
     assert rows[1].rh != rows[2].rh and rows[4].rh == 0
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pre-tokenizer: contractions split, space-prefixed word /
+    digit / punctuation runs each count once."""
+    from metaprofi_spark.functions.text import bpe_token_count, bpe_tokens_col
+
+    rows = [
+        (1, "it's 2024, isn't it?!"),
+        (2, "hello world"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n, r.toks) for r in df.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n"),
+        bpe_tokens_col(F.col("text")).alias("toks"),
+    ).collect()}
+    assert out[2] == (2, ["hello", " world"])
+    # it |'s| |2024|,| isn|'t| it|?!
+    assert out[1][1] == ["it", "'s", " 2024", ",", " isn", "'t", " it", "?!"]
+    assert out[3][0] == 0
 
 
 def test_rolling_hash_order_sensitive(spark):
