@@ -525,6 +525,114 @@ SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
 
 
 # ---------------------------------------------------------------------------
+# relational analytics over the TPC-H-ish tables (general engine surface:
+# wide aggregation, fact-to-fact join, broadcast dim joins).  All money
+# math is QUANTIZED to integer cents so Spark and DuckDB hash-match.
+# ---------------------------------------------------------------------------
+
+PRICING_CUTOFF = "1998-09-01 00:00:00"
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide partial-agg rollup of lineitem with
+    map-side combine; one shuffle on the 2-value group key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = _cents(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(_cents(F.col("l_extendedprice")) * disc).alias("sum_disc_cc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * CAST(round((1.0 - l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cc,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY 1, 2
+"""
+
+TOPK_SEGMENT = "BUILDING"
+TOPK_N = 10
+
+
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered fact-to-fact join + top-k.
+    customer (filtered, broadcast) ⋈ orders ⋈ lineitem, revenue ranked
+    with a deterministic tie-break."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == TOPK_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = _cents(F.lit(1.0) - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice")) * disc).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), F.asc("o_orderkey"))
+        .limit(TOPK_N)
+    )
+
+
+TOP_ORDERS_SQL = f"""
+SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * CAST(round((1.0 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cc
+FROM orders
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment = '{TOPK_SEGMENT}'
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+ORDER BY revenue_cc DESC, o_orderkey ASC
+LIMIT {TOPK_N}
+"""
+
+
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim rollup: customer ⋈ nation ⋈ region with BROADCAST
+    dims (the small-side join the optimizer must never shuffle)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("sum_acctbal_c"),
+        )
+    )
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name AS region, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # time/window analytics over the events table (general engine surface)
 # ---------------------------------------------------------------------------
 
@@ -644,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "pricing_summary": pricing_summary,
+        "top_orders_by_revenue": top_orders_by_revenue,
+        "customers_per_region": customers_per_region,
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
         "embedding_near_dup": embedding_near_dup,
@@ -667,6 +778,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_groups": FINGERPRINT_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "top_orders_by_revenue": TOP_ORDERS_SQL,
+        "customers_per_region": CUSTOMERS_PER_REGION_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "user_sessions": USER_SESSIONS_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
