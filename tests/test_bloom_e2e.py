@@ -309,3 +309,14 @@ def test_hash_queries_vectorized_semantics():
         assert (grp["n_slices"] == len(grp)).all()
         assert grp["slice_id"].is_unique
     assert set(pdf["query_id"]) == {"dup", "one"}
+
+
+def test_search_df_degenerate_queries(spark, index):
+    """Query files with empty/too-short texts: no rows, no crashes."""
+    from metaprofi_spark.operators import search_df
+
+    qdf = spark.createDataFrame(
+        [("e", ""), ("s", "ab"), ("n", None)],
+        "query_id string, query_text string",
+    )
+    assert search_df(spark, index, qdf, CFG, 100, BUCKET).count() == 0
