@@ -46,11 +46,29 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     """
     import pandas as pd
 
+    def _decompress(raw: bytes) -> bytes:
+        """gzip/zstd payloads sniffed by magic (the reference reads
+        compressed FASTQ, utilities.py:508-523); zstd gated behind an
+        import-try since the codec lib may be absent."""
+        if raw[:2] == b"\x1f\x8b":
+            import gzip
+
+            return gzip.decompress(raw)
+        if raw[:4] == b"\x28\xb5\x2f\xfd":
+            try:
+                import zstandard
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "zstd-compressed FASTQ needs the zstandard package"
+                ) from e
+            return zstandard.ZstdDecompressor().decompress(raw)
+        return raw
+
     def parse(iterator):
         for pdf in iterator:
             names, seqs, quals = [], [], []
             for content in pdf["content"]:
-                lines = bytes(content).decode("utf-8").splitlines()
+                lines = _decompress(bytes(content)).decode("utf-8").splitlines()
                 for i in range(0, len(lines) - 3, 4):
                     if not lines[i].startswith("@"):
                         raise ValueError(f"malformed FASTQ near line {i}")

@@ -194,6 +194,26 @@ def test_fasta_fastq_sources(spark, tmp_path):
     assert rows == {"r1": ("ACGT", "IIII"), "r2": ("GGGG", "JJJJ")}
 
 
+def test_compressed_fasta_fastq_sources(spark, tmp_path):
+    """gzip FASTA rides the text codec; gzip FASTQ is sniffed by magic
+    inside the whole-file parser (the reference reads compressed FASTQ,
+    utilities.py:508-523)."""
+    import gzip
+
+    from metaprofi_spark.sources.fasta import read_fasta, read_fastq
+
+    fa = tmp_path / "t.fa.gz"
+    with gzip.open(fa, "wt") as f:
+        f.write(">s1 desc\nACGT\nacgt\n>s2\nTTTT\n")
+    rows = {r.name: r.seq for r in read_fasta(spark, str(fa)).collect()}
+    assert rows == {"s1 desc": "ACGTACGT", "s2": "TTTT"}
+    fq = tmp_path / "t.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        f.write("@r1\nacgt\n+\nIIII\n@r2\nGGGG\n+\nJJJJ\n")
+    rows = {r.name: (r.seq, r.qual) for r in read_fastq(spark, str(fq)).collect()}
+    assert rows == {"r1": ("ACGT", "IIII"), "r2": ("GGGG", "JJJJ")}
+
+
 def test_bio_kernels():
     from metaprofi_spark.kernels.bio import (
         canonical_kmer,
