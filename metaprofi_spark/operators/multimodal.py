@@ -76,6 +76,71 @@ def decode_and_featurize(
     return df.select(id_col, payload_col).mapInPandas(fn, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, src_width int, src_height int, width int, height int, "
+    "payload binary"
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "html",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Image-resize plumbing: (doc_id, src dims, target dims, resized
+    payload).  The Spark side is real — Arrow-batched, binary in/out,
+    fixed output schema ready for a sink or a feature pass; the pixel
+    kernel is stubbed exactly like decode_and_featurize (no codec libs
+    in this container): ``fake`` emits a deterministic payload derived
+    from the content hash + target geometry (stable across
+    partitionings, pinned by test), ``raise`` marks the libvips/PIL
+    plug point."""
+
+    def _resize_batch(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray, list[bytes]]:
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "image resize requires codec libraries not present in "
+                "this environment; plug a real resizer in here"
+            )
+        h = mmh2_64_bytes(payloads, [0, 1, 2])  # (n, 3)
+        src_w = (h[:, 0] % np.uint64(1920) + np.uint64(16)).astype(np.int32)
+        src_h = (h[:, 1] % np.uint64(1080) + np.uint64(16)).astype(np.int32)
+        # deterministic fake "pixels": 8 bytes of content hash tiled to
+        # a size proportional to the target geometry
+        out = [
+            bytes(h[i, 2].tobytes() * max((target_w * target_h) // 64, 1))
+            for i in range(len(payloads))
+        ]
+        return src_w, src_h, out
+
+    def _to_bytes(b) -> bytes:
+        if b is None:
+            return b""
+        if isinstance(b, str):
+            return b.encode("utf-8")
+        return bytes(b)
+
+    def fn(batches):
+        for pdf in batches:
+            payloads = [_to_bytes(b) for b in pdf[payload_col]]
+            src_w, src_h, out = _resize_batch(payloads)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "src_width": src_w,
+                    "src_height": src_h,
+                    "width": pd.array([target_w] * len(payloads), dtype="int32"),
+                    "height": pd.array([target_h] * len(payloads), dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "doc_id",

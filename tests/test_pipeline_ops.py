@@ -377,6 +377,23 @@ def test_multimodal_raise_stub(spark, docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
 
 
+def test_resize_payloads_deterministic(spark, docs):
+    from metaprofi_spark.operators.multimodal import resize_payloads
+
+    sub = docs.limit(50)
+    a = {r.doc_id: (r.src_width, r.src_height, r.width, r.height, bytes(r.payload))
+         for r in resize_payloads(sub, 64, 48, payload_col="text").collect()}
+    b = {r.doc_id: (r.src_width, r.src_height, r.width, r.height, bytes(r.payload))
+         for r in resize_payloads(sub.repartition(7), 64, 48, payload_col="text").collect()}
+    assert a == b and len(a) == 50
+    for srcw, srch, w, h, payload in a.values():
+        assert (w, h) == (64, 48) and 16 <= srcw < 1936 and payload
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_payloads(sub, 64, 48, payload_col="text", decode_stub="raise").collect()
+
+
 def test_frame_sample_plan(spark, docs):
     plan = frame_sample_plan(docs.limit(5), payload_col="text", every_n=2)
     rows = plan.collect()
