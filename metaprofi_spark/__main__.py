@@ -51,7 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     common(s)
     s.add_argument("-s", "--sequence", action="append", default=[],
                    help="query text (repeatable)")
-    s.add_argument("-f", "--file", help="parquet of (query_id, query_text)")
+    s.add_argument("-f", "--file",
+                   help="query file: parquet of (query_id, query_text), "
+                        "or FASTA/FASTQ (.fa/.fasta/.fq/.fastq[.gz]) — "
+                        "the reference's search_index input shape")
     s.add_argument("-t", "--threshold", type=int, default=100)
     s.add_argument("-o", "--output", help="write reference-format report")
     s.add_argument("--seq-type", default=None,
@@ -106,7 +109,25 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
         elif args.cmd == "search":
             if args.file:
-                queries = spark.read.parquet(args.file)
+                from pyspark.sql import functions as F
+
+                base = args.file.removesuffix(".gz")
+                if base.endswith((".fa", ".fasta")):
+                    from metaprofi_spark.sources.fasta import read_fasta
+
+                    queries = read_fasta(spark, args.file).select(
+                        F.col("name").alias("query_id"),
+                        F.col("seq").alias("query_text"),
+                    )
+                elif base.endswith((".fq", ".fastq")):
+                    from metaprofi_spark.sources.fasta import read_fastq
+
+                    queries = read_fastq(spark, args.file).select(
+                        F.col("name").alias("query_id"),
+                        F.col("seq").alias("query_text"),
+                    )
+                else:
+                    queries = spark.read.parquet(args.file)
             else:
                 queries = [(f"q{i}", s) for i, s in enumerate(args.sequence)]
                 if not queries:

@@ -408,3 +408,29 @@ def test_streamed_report_equals_format_results(spark, docs, tmp_path):
         collected = format_results(res.collect(), t)
         assert streamed == collected
         assert parse_results(streamed) == parse_results(collected)
+
+
+def test_cli_search_fasta_query_file(spark, docs, tmp_path, capsys):
+    """Reference interface shape: search_index with a FASTA query file."""
+    from metaprofi_spark.__main__ import main
+
+    inp = str(tmp_path / "docs3.parquet")
+    # FASTA sequences are whitespace-free: build over space-stripped text
+    seqdocs = docs.limit(40).withColumn("text", F.regexp_replace("text", r"\s+", ""))
+    seqdocs.write.mode("overwrite").parquet(inp)
+    store = str(tmp_path / "clistore3")
+    assert main([
+        "build", "--input", inp, "--store", store,
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ]) == 0
+    capsys.readouterr()
+    probe = seqdocs.orderBy("doc_id").first().text[:40]
+    qf = tmp_path / "queries.fa"
+    qf.write_text(f">probe0 from doc 0\n{probe}\n")
+    assert main([
+        "search", "--store", store, "-f", str(qf), "-t", "100",
+        "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8",
+    ]) == 0
+    out = capsys.readouterr().out
+    hits = {int(l.split("\t")[1]) for l in out.splitlines() if l.startswith("probe0")}
+    assert 0 in hits
