@@ -11,7 +11,7 @@ fingerprinting (normalization + md5 — the exact-dedup key).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, functions as F
 
 # tiny per-language stopword lists for the heuristic language ID.
 # deterministic + public knowledge; the heuristic is graded on being a

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from metaprofi_spark.config import SketchConfig
-from metaprofi_spark.kernels import and_reduce, mmh2_64_windows, shingle_windows
+from metaprofi_spark.kernels import mmh2_64_windows, shingle_windows
 from metaprofi_spark.operators.bloom_index import plan_index_geometry, slice_bucket_size
 
 HASH_SCHEMA = "query_id string, kgram_idx int, weight int, n_slices int, slice_id long"
