@@ -75,6 +75,7 @@ def update_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     fail_before_commit: bool = False,
+    segment_name: str | None = None,
 ) -> dict:
     """Persisted-store variant: write the new slabs as a NEW SEGMENT
     directory, then commit by atomically rewriting the manifest.
@@ -93,6 +94,13 @@ def update_store(
 
     ``fail_before_commit`` injects a crash for the kill-between-steps
     test.
+
+    ``segment_name`` makes the append IDEMPOTENT BY NAME: if the named
+    segment is already committed the call is a no-op (returns the
+    current manifest).  Structured Streaming's foreachBatch is
+    at-least-once — passing the micro-batch id as the segment name is
+    what upgrades the sink to exactly-once across batch RETRIES, not
+    just crashes (streaming/append.py does this).
     """
     import time
 
@@ -106,6 +114,11 @@ def update_store(
             "update_store requires a format_version>=2 segmented store; "
             "rebuild with persist_index"
         )
+    seg = segment_name or f"u{len(manifest['segments'])}"
+    if seg in manifest["segments"]:
+        # named segment already committed: at-least-once caller retried
+        # after success — exactly-once means doing nothing
+        return manifest
     bucket = manifest.get(
         "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     )
@@ -114,7 +127,6 @@ def update_store(
     n_new = shifted.count()
     bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
     new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
-    seg = f"u{len(manifest['segments'])}"
     new_slabs.write.mode("overwrite").partitionBy("slice_bucket").parquet(
         os.path.join(path, "index", f"seg={seg}")
     )

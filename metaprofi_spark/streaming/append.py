@@ -31,7 +31,13 @@ def foreach_batch_appender(path: str, cfg: SketchConfig,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        update_store(spark, path, batch_df, cfg, id_col=id_col, text_col=text_col)
+        # segment named by the micro-batch id: foreachBatch is
+        # at-least-once, and a retry of an already-committed batch must
+        # be a no-op (update_store skips committed segment names)
+        update_store(
+            spark, path, batch_df, cfg, id_col=id_col, text_col=text_col,
+            segment_name=f"batch{batch_id}",
+        )
 
     return append_batch
 

@@ -434,3 +434,23 @@ def test_cli_search_fasta_query_file(spark, docs, tmp_path, capsys):
     out = capsys.readouterr().out
     hits = {int(l.split("\t")[1]) for l in out.splitlines() if l.startswith("probe0")}
     assert 0 in hits
+
+
+def test_update_store_named_segment_idempotent(spark, docs, tmp_path):
+    """At-least-once caller retries a COMMITTED named segment: no-op."""
+    from metaprofi_spark.operators import load_index
+
+    path = str(tmp_path / "idemstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    m1 = update_store(spark, path, rest, CFG, BUCKET, segment_name="batch7")
+    rows1 = load_index(spark, path)[0].count()
+    # retry of the SAME batch: manifest and data unchanged
+    m2 = update_store(spark, path, rest, CFG, BUCKET, segment_name="batch7")
+    assert m2["segments"] == m1["segments"] == ["u0", "batch7"]
+    assert m2["n_samples"] == m1["n_samples"]
+    assert load_index(spark, path)[0].count() == rows1
