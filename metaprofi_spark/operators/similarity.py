@@ -176,6 +176,8 @@ def lsh_bucket_ids(
 
     def bucketize(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
             out_id, out_t, out_b = [], [], []
@@ -300,6 +302,8 @@ def ivf_assign(
     def fn(batches):
         C = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
             mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
             cell = (mat @ C.T).argmax(axis=1)
