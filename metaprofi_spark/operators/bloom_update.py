@@ -145,3 +145,51 @@ def update_store(
     }
     _write_lineage(path, lineage)
     return manifest
+
+
+def compact_store(spark: SparkSession, path: str) -> dict:
+    """Rewrite all committed segments into ONE new segment and swap the
+    manifest atomically — the maintenance op that keeps long-lived
+    stores from accumulating per-update file sets.
+
+    Same crash-safety as update_store: the compacted segment name is
+    deterministic from the manifest counters (idempotent retry via
+    mode=overwrite), the commit is the atomic manifest rename, and a
+    crash in between leaves the store readable at the previous
+    snapshot.  Old segment dirs become orphans — reclaim with
+    :func:`vacuum_store` AFTER the commit."""
+    df, _cfg, manifest = load_index(spark, path)
+    if not manifest.get("segments"):
+        raise ValueError("compact_store requires a segmented (v2) store")
+    seg = f"c{manifest.get('update_count', 0)}_{manifest.get('compactions', 0)}"
+    (
+        df.select("range_id", "sample_bucket", "bits", "slice_bucket")
+        .write.mode("overwrite")
+        .partitionBy("slice_bucket")
+        .parquet(os.path.join(path, "index", f"seg={seg}"))
+    )
+    from metaprofi_spark.operators.bloom_index import _write_manifest
+
+    manifest["segments"] = [seg]
+    manifest["compactions"] = manifest.get("compactions", 0) + 1
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def vacuum_store(path: str) -> list[str]:
+    """Delete segment dirs not referenced by the committed manifest
+    (orphans from crashes and compactions).  Safe only AFTER the commit
+    that orphaned them; returns the removed segment names."""
+    import json
+    import shutil
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    live = {f"seg={s}" for s in manifest.get("segments", [])}
+    removed = []
+    idx_dir = os.path.join(path, "index")
+    for d in os.listdir(idx_dir):
+        if d.startswith("seg=") and d not in live:
+            shutil.rmtree(os.path.join(idx_dir, d))
+            removed.append(d[len("seg="):])
+    return removed

@@ -454,3 +454,56 @@ def test_update_store_named_segment_idempotent(spark, docs, tmp_path):
     assert m2["segments"] == m1["segments"] == ["u0", "batch7"]
     assert m2["n_samples"] == m1["n_samples"]
     assert load_index(spark, path)[0].count() == rows1
+
+
+def test_compact_and_vacuum_store(spark, docs, tmp_path):
+    """Compaction collapses all segments into one (same rows, same
+    search answers); vacuum reclaims the orphaned dirs; further updates
+    keep working on the compacted store."""
+    from metaprofi_spark.operators import (
+        compact_store, load_index, vacuum_store,
+    )
+
+    path = str(tmp_path / "compactstore")
+    third = docs.count() // 3
+    d0 = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(d0, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    r1 = rest.filter(F.col("doc_id") < third)
+    r2 = rest.filter(F.col("doc_id") >= third).withColumn(
+        "doc_id", F.col("doc_id") - third
+    )
+    update_store(spark, path, r1, CFG, BUCKET)
+    update_store(spark, path, r2, CFG, BUCKET)
+    before, _, m_before = load_index(spark, path)
+    rows_before = {(r.range_id, r.sample_bucket, bytes(r.bits))
+                   for r in before.collect()}
+    assert len(m_before["segments"]) == 3
+    probe = docs.orderBy("doc_id").first()
+    res_before = {(r.query_id, r.sample_idx) for r in search(
+        spark, before, [("q", probe.text[: 5 * CFG.k])], CFG, 100, BUCKET
+    ).collect()}
+
+    manifest = compact_store(spark, path)
+    assert len(manifest["segments"]) == 1
+    assert manifest["n_samples"] == m_before["n_samples"]
+    after, _, _ = load_index(spark, path)
+    rows_after = {(r.range_id, r.sample_bucket, bytes(r.bits))
+                  for r in after.collect()}
+    assert rows_after == rows_before
+    res_after = {(r.query_id, r.sample_idx) for r in search(
+        spark, after, [("q", probe.text[: 5 * CFG.k])], CFG, 100, BUCKET
+    ).collect()}
+    assert res_after == res_before
+    removed = vacuum_store(path)
+    assert sorted(removed) == ["u0", "u1", "u2"]
+    assert load_index(spark, path)[0].count() == len(rows_before)
+    # the compacted store still accepts updates
+    extra = spark.createDataFrame(
+        [(0, "freshly appended text " * 5)], "doc_id long, text string"
+    )
+    m2 = update_store(spark, path, extra, CFG, BUCKET)
+    assert len(m2["segments"]) == 2
