@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("summary")
     common(m)
 
+    c = sub.add_parser("compact", help="rewrite all segments into one + vacuum orphans")
+    common(c)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -144,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{r.query_id}\t{r.sample_idx}\t{r.kgram_hits}/{r.n_kgrams}")
         elif args.cmd == "summary":
             print(json.dumps(api.summary(spark, args.store)))
+        elif args.cmd == "compact":
+            from metaprofi_spark.operators import compact_store, vacuum_store
+
+            manifest = compact_store(spark, args.store)
+            removed = vacuum_store(args.store)
+            print(json.dumps({"segments": manifest["segments"], "vacuumed": removed}))
     finally:
         if owns_session:
             spark.stop()
