@@ -307,6 +307,36 @@ def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-profiling sweep over the documents table (nulls, exact
+    distincts, min/max as strings) — the pre-ingest QA pass, one wide
+    aggregation + stack pivot, fully SQL-checkable."""
+    from metaprofi_spark.functions.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), ["doc_id", "lang", "n_chars"])
+
+
+DOCS_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS column, count(*) AS n_rows,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*),
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*),
+         CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents
+)
+"""
+
+
 def tdigest_doclen_centiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest sketch of n_chars.  The digest's total weight n is EXACT
     (every value folds with weight 1), so the projection is
@@ -740,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_quantiles": doclen_quantiles,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "tdigest_doclen_centiles": tdigest_doclen_centiles,
+        "docs_profile": docs_profile,
         "corpus_summary": corpus_summary,
         "text_stats": text_stats,
         "quality_scores": quality_scores,
@@ -785,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": USER_SESSIONS_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
         "tdigest_doclen_centiles": TDIGEST_DOCLEN_SQL,
+        "docs_profile": DOCS_PROFILE_SQL,
         "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
         # no SQL oracle (estimates / probabilistic / float-tree / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
