@@ -163,3 +163,52 @@ def test_canonicalize_windows_matches_scalar(windows_bytes):
     for i, w in enumerate(windows_bytes):
         rc = bytes(table.get(b, 0) for b in reversed(w))
         assert bytes(got[i]) == min(w, rc), w
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcXY @", min_size=0, max_size=30),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_hash_queries_invariants(texts):
+    """Vectorized hash_queries invariants for arbitrary query batches:
+    per-query weights sum to the occurrence count, n_slices equals the
+    number of emitted rows per k-gram AND the count of distinct hash
+    positions, kgram_idx is a dense 0..u-1 rank."""
+    from metaprofi_spark import SketchConfig
+    from metaprofi_spark.kernels.mmh2 import mmh2_64_windows
+    from metaprofi_spark.operators.bloom_search import hash_queries
+
+    cfg = SketchConfig(k=3, h=3, m=64, chunk_bits=64, slice_buckets=2,
+                       slice_range_size=8)
+    queries = [(f"q{i}", t) for i, t in enumerate(texts)]
+    pdf, n_kgrams = hash_queries(queries, cfg)
+    for i, t in enumerate(texts):
+        qid = f"q{i}"
+        sub = pdf[pdf["query_id"] == qid]
+        nk_expected = max(len(t.lower().encode()) - cfg.k + 1, 0)
+        assert n_kgrams[qid] == nk_expected
+        if nk_expected == 0:
+            assert len(sub) == 0
+            continue
+        # weight: each unique kgram's weight counted once (rows are
+        # duplicated per distinct slice)
+        per_kg = sub.groupby("kgram_idx")
+        w_sum = sum(g["weight"].iloc[0] for _, g in per_kg)
+        assert w_sum == nk_expected
+        ks = sorted(sub["kgram_idx"].unique())
+        assert ks == list(range(len(ks)))  # dense rank
+        text_b = t.lower().encode()
+        uniq_windows = sorted({text_b[j:j+cfg.k] for j in range(nk_expected)})
+        assert len(ks) == len(uniq_windows)
+        for kg, g in per_kg:
+            w = uniq_windows[kg]
+            pos = mmh2_64_windows(
+                np.frombuffer(w, dtype=np.uint8).reshape(1, cfg.k),
+                np.asarray(cfg.seeds, dtype=np.uint64),
+            )[0] % np.uint64(cfg.m_padded)
+            distinct = sorted(set(int(p) for p in pos))
+            assert sorted(g["slice_id"]) == distinct
+            assert (g["n_slices"] == len(distinct)).all()
