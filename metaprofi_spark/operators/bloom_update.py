@@ -63,6 +63,10 @@ def update_index(
     )
     bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
     new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
+    # a store-loaded index carries the `seg` partition column that fresh
+    # slabs don't have — drop it before the union (search never uses it)
+    if "seg" in old_index_df.columns:
+        old_index_df = old_index_df.drop("seg")
     return old_index_df.unionByName(new_slabs), dim, base + n_new
 
 

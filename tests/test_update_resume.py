@@ -507,3 +507,23 @@ def test_compact_and_vacuum_store(spark, docs, tmp_path):
     )
     m2 = update_store(spark, path, extra, CFG, BUCKET)
     assert len(m2["segments"]) == 2
+
+
+def test_update_index_on_store_loaded_frame(spark, docs, tmp_path):
+    """update_index must accept a store-LOADED index (which carries the
+    seg partition column) — regression for the segmented layout."""
+    from metaprofi_spark.operators import load_index
+
+    path = str(tmp_path / "segloadstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    loaded, _, _ = load_index(spark, path, CFG)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    merged, dim, n_total = update_index(loaded, rest, CFG, BUCKET, BUCKET)
+    assert n_total == docs.count()
+    r0 = docs.orderBy("doc_id").first()
+    res = search(spark, merged, [("q", r0.text[: 5 * CFG.k])], CFG, 100, BUCKET)
+    assert any(r.sample_idx == r0.doc_id for r in res.collect())
