@@ -153,10 +153,13 @@ def query_throughput(spark) -> dict[str, float]:
     search_df(spark, index_df, qdf, cfg, 75, bucket).count()
     out = {}
     for t in (100, 75):
-        t0 = time.time()
-        n = search_df(spark, index_df, qdf, cfg, t, bucket).count()
-        out[f"query_1000_t{t}"] = round(time.time() - t0, 3)
-        assert n >= 0
+        walls = []
+        for _ in range(2):  # min-of-2: the host's allotment drifts ±2x
+            t0 = time.time()
+            n = search_df(spark, index_df, qdf, cfg, t, bucket).count()
+            walls.append(round(time.time() - t0, 3))
+            assert n >= 0
+        out[f"query_1000_t{t}"] = min(walls)
     index_df.unpersist()
     return out
 
