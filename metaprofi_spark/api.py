@@ -136,3 +136,14 @@ def query(
 def summary(spark: SparkSession, path: str) -> dict:
     """`metaprofi summary` analog (utilities.py:598-638)."""
     return store_summary(spark, path)
+
+
+def compact(spark: SparkSession, path: str, vacuum: bool = True) -> dict:
+    """Store maintenance: collapse all committed segments into one
+    (atomic snapshot swap) and optionally reclaim orphan dirs."""
+    from metaprofi_spark.operators import compact_store, vacuum_store
+
+    manifest = compact_store(spark, path)
+    if vacuum:
+        manifest = dict(manifest, vacuumed=vacuum_store(path))
+    return manifest

@@ -479,6 +479,17 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(_docs(spark, sf_dir), 64, 16)
 
 
+def clean_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training sweep (exact dedup -> near-dup
+    components -> quality floor) projected to surviving doc ids —
+    deterministic (rows-only gate; stage equivalences are pinned by the
+    dedup/quality tests)."""
+    from metaprofi_spark.pipelines import clean_corpus
+
+    cleaned, _ = clean_corpus(_docs(spark, sf_dir), with_stats=False)
+    return cleaned.select("doc_id")
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-banded candidates (probabilistic; no SQL oracle)."""
     from metaprofi_spark.operators.dedup import simhash_candidates
@@ -779,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
         "near_dup_groups": near_dup_groups,
+        "clean_corpus_ids": clean_corpus_ids,
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,

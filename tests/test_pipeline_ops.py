@@ -398,3 +398,28 @@ def test_frame_sample_plan(spark, docs):
     plan = frame_sample_plan(docs.limit(5), payload_col="text", every_n=2)
     rows = plan.collect()
     assert rows and all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    from metaprofi_spark.pipelines import clean_corpus
+
+    base = [r.text for r in docs.limit(10).collect()]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((3 * i, t))
+        rows.append((3 * i + 1, t))  # exact dup
+        toks = t.split(); toks[0] = "NEARDUP"
+        rows.append((3 * i + 2, " ".join(toks)))  # near dup
+    rows.append((900, "@@@@ %%%% ^^^^ &&&&"))  # low quality
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned, stats = clean_corpus(df, min_quality=0.3)
+    assert stats["n_input"] == len(rows)
+    assert stats["n_after_exact_dedup"] == len(rows) - len(base)  # twins gone
+    assert stats["n_after_near_dedup"] <= len(base) + 1
+    assert stats["n_after_quality"] < stats["n_after_near_dedup"]  # junk doc cut
+    ids = {r.doc_id for r in cleaned.collect()}
+    assert 900 not in ids
+    assert stats["retention"] < 1.0
+    # lazy variant produces the same rows
+    lazy, s2 = clean_corpus(df, min_quality=0.3, with_stats=False)
+    assert s2 == {} and {r.doc_id for r in lazy.collect()} == ids
