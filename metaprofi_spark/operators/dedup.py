@@ -298,9 +298,16 @@ def near_dup_components(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components of the LSH collision graph: (id, component),
     component = min doc id reachable through shared-bucket edges.
+
+    ``reliable_checkpoint=True`` swaps localCheckpoint for
+    HDFS-durable ``checkpoint()`` (requires
+    ``sc.setCheckpointDir``) — executor loss then replays from the
+    checkpoint instead of recomputing the whole iteration chain; the
+    right setting for 10^12-doc runs on preemptible fleets.
 
     This is the DEDUP-at-scale operator: listing candidate PAIRS is
     quadratic in cluster size (a 1M-doc boilerplate cluster = 5*10^11
@@ -319,18 +326,18 @@ def near_dup_components(
     """
     from pyspark.sql.window import Window
 
+    def ckpt(frame: DataFrame) -> DataFrame:
+        return frame.checkpoint() if reliable_checkpoint else frame.localCheckpoint()
+
     b = minhash_bands(df, n_perm, bands, id_col, text_col)
     w = Window.partitionBy("band_id", "band_hash")
-    edges = (
+    edges = ckpt(
         b.withColumn("rep", F.min("id").over(w))
         .filter(F.col("id") != F.col("rep"))
         .select("id", "rep")
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
-        b.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
-    )
+    labels = ckpt(b.select("id").distinct().withColumn("comp", F.col("id")))
     for _ in range(max_iter):
         via_rep = (
             edges.join(labels.withColumnRenamed("id", "rep"), "rep")
@@ -339,12 +346,11 @@ def near_dup_components(
         via_member = (
             edges.join(labels, "id").select(F.col("rep").alias("id"), "comp")
         )
-        new_labels = (
+        new_labels = ckpt(
             via_rep.unionByName(via_member)
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("comp", "new")
