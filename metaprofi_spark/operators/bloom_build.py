@@ -299,36 +299,71 @@ def densify_samples(df: DataFrame, id_col: str, num_partitions: int | None = Non
     The analog of the reference's row-aligned metadata dataset
     (zarrstore.py:243-272).
 
-    Scale shape (the zipWithIndex pattern, NOT a global-sort window):
-    range-partition by id, count rows per partition (a tiny driver
-    list, one row per partition), then rank within each partition and
-    add the partition's cumulative offset.  No single-task exchange —
-    every stage runs at full parallelism.  Determinism: Spark's range
-    partitioner samples with fixed per-partition seeds, so the two
-    passes see identical partitioning for a deterministic input.
+    Scale shape (zipWithIndex-style, NOT a global-sort window): split
+    the id domain into ``num_partitions`` ordered range buckets, count
+    rows per bucket (a tiny driver list), then rank within each bucket
+    and add the bucket's cumulative offset.  No single-task exchange —
+    every stage runs at full parallelism.
+
+    Determinism: the bucket id is a PURE FUNCTION OF THE ROW, never of
+    physical partitioning.  Range boundaries are computed once on the
+    driver from a fixed-seed sample (global top-S rows ordered by
+    ``xxhash64(id)`` — a uniform pseudo-random sample, deterministic
+    because the hash ordering is data-defined), and ``__pid`` is the
+    count of boundaries <= id evaluated JVM-side per row.  Every job
+    over the plan therefore sees the identical id -> bucket mapping —
+    unlike ``repartitionByRange`` + ``spark_partition_id()``, whose
+    range sampler is seeded per-execution and silently reassigns rows
+    between the counting pass and the ranking pass at scale.
     """
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(num_partitions, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    P = max(int(num_partitions), 1)
+    # bounded deterministic sample: S rows to the driver, one full-
+    # parallelism TakeOrdered job.  64 samples/bucket keeps boundary
+    # error ~a few % — balance, not correctness (any split is correct).
+    S = P * 64
+    samp = sorted(
+        r["__id"]
+        for r in df.select(F.col(id_col).alias("__id"))
+        .withColumn("__h", F.xxhash64("__id"))
+        .orderBy("__h", "__id")
+        .limit(S)
+        .select("__id")
+        .collect()
     )
+    bounds: list = []
+    if P > 1 and len(samp) >= 2:
+        step = len(samp) / P
+        bounds = sorted({samp[int(i * step)] for i in range(1, P)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(id_col) >= b, 1).otherwise(0),
+        )
+    else:
+        pid = F.lit(0)
+    bucketed = df.withColumn("__pid", pid)
     counts = sorted(
         (r["__pid"], r["n"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+        for r in bucketed.groupBy("__pid").agg(F.count("*").alias("n")).collect()
     )
     offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
+    for pid_val, n in counts:
+        offsets.append((pid_val, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
-    # __pid is a materialized COLUMN here, so the window's hash exchange
-    # on it is a balanced per-partition-group shuffle, not a global sort
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    # buckets are ordered by id range, so offset + within-bucket rank is
+    # the global id order; the window's hash exchange on __pid is a
+    # balanced per-bucket shuffle, not a global sort
     w = Window.partitionBy("__pid").orderBy(F.col(id_col))
     return (
-        ranged.join(F.broadcast(off_df), "__pid")
+        bucketed.join(F.broadcast(off_df), "__pid")
         .withColumn(
             "sample_idx", F.col("__offset") + F.row_number().over(w) - F.lit(1)
         )

@@ -222,23 +222,38 @@ def search_df(
         raise ValueError("threshold must be in (0, 100]")
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     sb_size = slice_bucket_size(cfg)
-    # cached: read twice (bucket-prune list + the index join); hash rows
-    # are ~(n_queries * kgrams * h) tuples of scalars, far smaller than
-    # the index side they prune
-    hashes = hash_queries_df(queries_df, cfg).persist()
-    buckets = [
-        r["b"]
-        for r in hashes.select(
-            (F.col("slice_id") / F.lit(sb_size)).cast("int").alias("b")
+    # the hash rows are read twice (bucket-prune list + index join).
+    # NOT .persist(): the CacheManager pins cached plans for the session
+    # lifetime, so repeated searches would accumulate blocks (r2 advice).
+    if broadcast_queries:
+        # broadcast path: the rows are about to be collected for the
+        # broadcast anyway, so collect them ONCE to the driver, derive
+        # the bucket list locally, and re-parallelize — one hashing
+        # pass, no cached state
+        hpdf = hash_queries_df(queries_df, cfg).toPandas()
+        if len(hpdf) == 0:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        buckets = sorted({int(s) // sb_size for s in hpdf["slice_id"]})
+        hashes = spark.createDataFrame(hpdf, HASH_SCHEMA + ", n_kgrams long")
+    else:
+        # million-read path: rows stay distributed.  Eager localCheckpoint
+        # materializes the hashing once; its blocks are reference-counted
+        # by the ContextCleaner and freed when this DataFrame is GC'd —
+        # unlike persist(), nothing outlives the search
+        hashes = hash_queries_df(queries_df, cfg).localCheckpoint(eager=True)
+        buckets = sorted(
+            r["b"]
+            for r in hashes.select(
+                (F.col("slice_id") / F.lit(sb_size)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    ]
-    if not buckets:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        if not buckets:
+            return spark.createDataFrame([], RESULT_SCHEMA)
     return _search_from_hashes(
         spark, index_df, hashes, cfg, threshold, bucket,
-        slice_buckets=sorted(buckets), broadcast_queries=broadcast_queries,
+        slice_buckets=buckets, broadcast_queries=broadcast_queries,
         sample_ids=sample_ids,
     )
 

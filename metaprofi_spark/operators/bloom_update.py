@@ -18,6 +18,7 @@ build_index_zarr.py:262-283).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,6 +35,72 @@ from metaprofi_spark.operators.bloom_index import (
 def next_sample_base(n_samples: int, bucket: int) -> int:
     """First sample_idx of the next update batch (bucket-aligned)."""
     return (n_samples + bucket - 1) // bucket * bucket
+
+
+@_contextlib.contextmanager
+def store_lock(
+    path: str,
+    timeout: float = 600.0,
+    poll: float = 0.2,
+    stale_sec: float = 3600.0,
+):
+    """Single-writer mutual exclusion for a persisted store.
+
+    All manifest read-modify-write operations (update_store,
+    compact_store, vacuum_store) run under this lock, so a vacuum can
+    never delete a segment a concurrent update has written but not yet
+    committed, and a compaction can never lose a concurrently committed
+    update (the race the r2 advice flagged).  The reference gets the
+    same guarantee from its Zarr write transaction
+    (build_index_zarr.py:286-301).
+
+    Implementation: O_CREAT|O_EXCL lock file next to manifest.json
+    carrying {pid, ts}.  A lock whose owner pid is dead, or older than
+    ``stale_sec``, is broken (crashed writers don't wedge the store —
+    their half-written ``seg=`` dirs are idempotently overwritten or
+    vacuumed later).  Works on any POSIX-rename filesystem; on object
+    stores swap for a DynamoDB/ZooKeeper mutex — the call sites don't
+    change.
+    """
+    import json
+    import time
+
+    lock_path = os.path.join(path, "manifest.lock")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
+            )
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(lock_path) as f:
+                    meta = json.load(f)
+                owner_dead = False
+                try:
+                    os.kill(int(meta.get("pid", -1)), 0)
+                except (ProcessLookupError, ValueError):
+                    owner_dead = True
+                except PermissionError:
+                    pass
+                if owner_dead or time.time() - float(meta.get("ts", 0)) > stale_sec:
+                    os.unlink(lock_path)
+                    continue
+            except (OSError, ValueError):
+                continue  # lock vanished or is mid-write; retry
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"store writer lock busy after {timeout}s: {lock_path}"
+                )
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with _contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_path)
 
 
 def update_index(
@@ -112,43 +179,44 @@ def update_store(
     from metaprofi_spark.plans.lineage import read_lineage, _write_lineage
 
     t0 = time.time()
-    _old_df, _stored_cfg, manifest = load_index(spark, path, cfg)
-    if not manifest.get("segments"):
-        raise ValueError(
-            "update_store requires a format_version>=2 segmented store; "
-            "rebuild with persist_index"
+    with store_lock(path):
+        _old_df, _stored_cfg, manifest = load_index(spark, path, cfg)
+        if not manifest.get("segments"):
+            raise ValueError(
+                "update_store requires a format_version>=2 segmented store; "
+                "rebuild with persist_index"
+            )
+        seg = segment_name or f"u{len(manifest['segments'])}"
+        if seg in manifest["segments"]:
+            # named segment already committed: at-least-once caller retried
+            # after success — exactly-once means doing nothing
+            return manifest
+        bucket = manifest.get(
+            "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
         )
-    seg = segment_name or f"u{len(manifest['segments'])}"
-    if seg in manifest["segments"]:
-        # named segment already committed: at-least-once caller retried
-        # after success — exactly-once means doing nothing
+        base = next_sample_base(manifest["n_samples"], bucket)
+        shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
+        n_new = shifted.count()
+        bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
+        new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
+        new_slabs.write.mode("overwrite").partitionBy("slice_bucket").parquet(
+            os.path.join(path, "index", f"seg={seg}")
+        )
+        if fail_before_commit:
+            raise RuntimeError("injected crash between segment write and commit")
+        manifest["segments"] = manifest["segments"] + [seg]
+        manifest["n_samples"] = base + n_new
+        manifest["update_count"] = manifest.get("update_count", 0) + 1
+        _write_manifest(path, manifest)
+        lineage = read_lineage(path)
+        lineage.setdefault("updates", {})[seg] = {
+            "n_new_samples": int(n_new),
+            "sample_base": int(base),
+            "wall_sec": round(time.time() - t0, 3),
+            "ts": int(time.time()),
+        }
+        _write_lineage(path, lineage)
         return manifest
-    bucket = manifest.get(
-        "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
-    )
-    base = next_sample_base(manifest["n_samples"], bucket)
-    shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
-    n_new = shifted.count()
-    bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
-    new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
-    new_slabs.write.mode("overwrite").partitionBy("slice_bucket").parquet(
-        os.path.join(path, "index", f"seg={seg}")
-    )
-    if fail_before_commit:
-        raise RuntimeError("injected crash between segment write and commit")
-    manifest["segments"] = manifest["segments"] + [seg]
-    manifest["n_samples"] = base + n_new
-    manifest["update_count"] = manifest.get("update_count", 0) + 1
-    _write_manifest(path, manifest)
-    lineage = read_lineage(path)
-    lineage.setdefault("updates", {})[seg] = {
-        "n_new_samples": int(n_new),
-        "sample_base": int(base),
-        "wall_sec": round(time.time() - t0, 3),
-        "ts": int(time.time()),
-    }
-    _write_lineage(path, lineage)
-    return manifest
 
 
 def compact_store(spark: SparkSession, path: str) -> dict:
@@ -161,39 +229,50 @@ def compact_store(spark: SparkSession, path: str) -> dict:
     mode=overwrite), the commit is the atomic manifest rename, and a
     crash in between leaves the store readable at the previous
     snapshot.  Old segment dirs become orphans — reclaim with
-    :func:`vacuum_store` AFTER the commit."""
-    df, _cfg, manifest = load_index(spark, path)
-    if not manifest.get("segments"):
-        raise ValueError("compact_store requires a segmented (v2) store")
-    seg = f"c{manifest.get('update_count', 0)}_{manifest.get('compactions', 0)}"
-    (
-        df.select("range_id", "sample_bucket", "bits", "slice_bucket")
-        .write.mode("overwrite")
-        .partitionBy("slice_bucket")
-        .parquet(os.path.join(path, "index", f"seg={seg}"))
-    )
-    from metaprofi_spark.operators.bloom_index import _write_manifest
+    :func:`vacuum_store` AFTER the commit.
 
-    manifest["segments"] = [seg]
-    manifest["compactions"] = manifest.get("compactions", 0) + 1
-    _write_manifest(path, manifest)
-    return manifest
+    Runs under :func:`store_lock`: the manifest is read AND swapped
+    inside one critical section, so a concurrently committed update
+    segment can't be dropped by this read-modify-write (lost update)."""
+    with store_lock(path):
+        df, _cfg, manifest = load_index(spark, path)
+        if not manifest.get("segments"):
+            raise ValueError("compact_store requires a segmented (v2) store")
+        seg = f"c{manifest.get('update_count', 0)}_{manifest.get('compactions', 0)}"
+        (
+            df.select("range_id", "sample_bucket", "bits", "slice_bucket")
+            .write.mode("overwrite")
+            .partitionBy("slice_bucket")
+            .parquet(os.path.join(path, "index", f"seg={seg}"))
+        )
+        from metaprofi_spark.operators.bloom_index import _write_manifest
+
+        manifest["segments"] = [seg]
+        manifest["compactions"] = manifest.get("compactions", 0) + 1
+        _write_manifest(path, manifest)
+        return manifest
 
 
 def vacuum_store(path: str) -> list[str]:
     """Delete segment dirs not referenced by the committed manifest
-    (orphans from crashes and compactions).  Safe only AFTER the commit
-    that orphaned them; returns the removed segment names."""
+    (orphans from crashes and compactions); returns the removed segment
+    names.
+
+    Runs under :func:`store_lock` and re-reads the manifest inside the
+    critical section: while vacuum holds the lock no writer is between
+    segment-write and manifest-commit, so every ``seg=`` dir absent from
+    the manifest is truly orphaned — never an in-flight append."""
     import json
     import shutil
 
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
-    live = {f"seg={s}" for s in manifest.get("segments", [])}
-    removed = []
-    idx_dir = os.path.join(path, "index")
-    for d in os.listdir(idx_dir):
-        if d.startswith("seg=") and d not in live:
-            shutil.rmtree(os.path.join(idx_dir, d))
-            removed.append(d[len("seg="):])
-    return removed
+    with store_lock(path):
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        live = {f"seg={s}" for s in manifest.get("segments", [])}
+        removed = []
+        idx_dir = os.path.join(path, "index")
+        for d in os.listdir(idx_dir):
+            if d.startswith("seg=") and d not in live:
+                shutil.rmtree(os.path.join(idx_dir, d))
+                removed.append(d[len("seg="):])
+        return removed

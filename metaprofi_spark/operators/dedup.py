@@ -361,6 +361,15 @@ def near_dup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: downstream dedup
+        # would silently keep several representatives per component —
+        # fail loudly instead (r2 advice)
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (component "
+            "diameter exceeds the iteration cap)"
+        )
     return labels
 
 

@@ -340,6 +340,12 @@ def ann_ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     # probe cells for each query (bounded: len(query_ids) x dim driver math)
     qrows = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query list / ids absent from the corpus: an empty result
+        # like the candidate-join path, not an np.stack ValueError
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
     sims = Q @ centroids.T

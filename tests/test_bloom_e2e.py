@@ -245,6 +245,37 @@ def test_densify_samples_dense_and_parallel(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_densify_samples_deterministic_at_scale(spark):
+    """Regression (r2 advice): with repartitionByRange +
+    spark_partition_id, the range sampler's per-execution seed assigned
+    rows to DIFFERENT buckets in the counting pass vs the ranking pass
+    once partitions exceeded the sample — 400k rows yielded only ~386k
+    distinct sample_idx (silent index corruption).  The bucket id is now
+    a pure function of the id, so every evaluation of the lazy plan must
+    produce the same dense 0..n-1 assignment."""
+    from metaprofi_spark.operators import densify_samples
+
+    n = 400_000
+    df = spark.range(n).select((F.col("id") * 2654435761 % 1_000_000_007).alias("uid"))
+    out = densify_samples(df, "uid", num_partitions=64)
+    # evaluation 1: dense, no duplicates
+    agg = out.agg(
+        F.countDistinct("sample_idx").alias("nd"),
+        F.min("sample_idx").alias("lo"),
+        F.max("sample_idx").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert (agg["nd"], agg["lo"], agg["hi"], agg["n"]) == (n, 0, n - 1, n)
+    # evaluation 2 (fresh jobs over the same lazy plan): identical map
+    rehash = out.agg(
+        F.bit_xor(F.xxhash64("uid", "sample_idx")).alias("s")
+    ).first()["s"]
+    rehash2 = out.agg(
+        F.bit_xor(F.xxhash64("uid", "sample_idx")).alias("s")
+    ).first()["s"]
+    assert rehash == rehash2
+
+
 def test_search_df_shuffle_join_equals_broadcast(spark, docs, index):
     """broadcast_queries=False (the million-read shape) == broadcast plan."""
     from metaprofi_spark.operators import search_df

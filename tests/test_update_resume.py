@@ -527,3 +527,58 @@ def test_update_index_on_store_loaded_frame(spark, docs, tmp_path):
     r0 = docs.orderBy("doc_id").first()
     res = search(spark, merged, [("q", r0.text[: 5 * CFG.k])], CFG, 100, BUCKET)
     assert any(r.sample_idx == r0.doc_id for r in res.collect())
+
+
+def test_store_lock_mutual_exclusion_and_stale_takeover(tmp_path):
+    """Single-writer lock (r2 advice): a held lock blocks a second
+    writer; a lock left by a dead process is broken and reacquired."""
+    import json
+
+    from metaprofi_spark.operators import store_lock
+
+    p = str(tmp_path)
+    with store_lock(p):
+        with pytest.raises(TimeoutError):
+            with store_lock(p, timeout=0.4, poll=0.05):
+                pass
+    # released on exit
+    assert not (tmp_path / "manifest.lock").exists()
+    # stale lock: nonexistent owner pid -> broken and acquired
+    (tmp_path / "manifest.lock").write_text(
+        json.dumps({"pid": 2**22 + 12345, "ts": 0})
+    )
+    with store_lock(p, timeout=2.0, poll=0.05):
+        assert (tmp_path / "manifest.lock").exists()
+    assert not (tmp_path / "manifest.lock").exists()
+
+
+def test_vacuum_never_deletes_midflight_segment(spark, docs, tmp_path):
+    """vacuum_store acquires the writer lock, so a segment that an
+    in-progress update has written but not yet committed (writer holds
+    the lock) can never be swept; once the lock is free, true orphans
+    go."""
+    import os
+    import threading
+
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import store_lock, vacuum_store
+
+    path = str(tmp_path / "store")
+    api.build(spark, docs.limit(50), CFG, path)
+    # fake an uncommitted in-flight segment while the writer lock is held
+    orphan = os.path.join(path, "index", "seg=u99")
+    os.makedirs(orphan)
+    results: list = []
+    with store_lock(path):
+        t = threading.Thread(
+            target=lambda: results.append(vacuum_store(path))
+        )
+        t.start()
+        t.join(timeout=0.5)
+        # vacuum is blocked while the writer holds the lock
+        assert t.is_alive() and os.path.isdir(orphan)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # after the writer released (segment never committed -> orphan), swept
+    assert results == [["u99"]]
+    assert not os.path.isdir(orphan)
