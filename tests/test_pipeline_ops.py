@@ -94,6 +94,28 @@ def test_simhash_near_dup_hamming(spark, docs):
     assert all(h <= 16 for h in hits)
 
 
+def test_simhash_collapse_equals_naive_join(spark, docs):
+    """The signature-collapsed simhash candidate plan (scale path) must
+    equal the naive per-doc block self-join bit-for-bit, including
+    identical-signature clusters (intra pairs, hamming 0)."""
+    base = [r.text for r in docs.limit(40).collect()]
+    rows = []
+    nid = 0
+    for i, t in enumerate(base):
+        # plant identical clusters of varying size + one near-dup
+        for _ in range(1 + i % 3):
+            rows.append((nid, t))
+            nid += 1
+        rows.append((nid, t + " tailtoken"))
+        nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_candidates(df, collapse=True).collect()}
+    naive = {(r.id_a, r.id_b, r.hamming)
+             for r in simhash_candidates(df, collapse=False).collect()}
+    assert fast == naive and fast
+
+
 def test_minhash_candidates_equal_naive_band_join(spark, docs):
     """The signature-group-collapsed plan must equal the naive band
     self-join + distinct bit-for-bit (including planted identical and
