@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from metaprofi_spark.kernels import hll as H
+from metaprofi_spark.kernels.arrowbuf import series_utf8_buffer
 from metaprofi_spark.kernels import cms as C
 from metaprofi_spark.kernels.kll import KLLSketch
 
@@ -109,8 +110,13 @@ def hll_agg(
             return H.hll_serialize(self.regs)
 
     def fold(acc, series):
-        vals = [str(v).encode("utf-8") for v in series if v is not None]
-        H.hll_add(acc.regs, vals)
+        buf = series_utf8_buffer(series)
+        if buf is not None:  # Arrow C path: no per-element Python
+            H.hll_add(acc.regs, buf)
+        else:
+            H.hll_add(
+                acc.regs, [str(v).encode("utf-8") for v in series if v is not None]
+            )
 
     return _partial_final(
         df, group_cols, value_col, _Acc, fold, merge_blobs,
@@ -148,7 +154,11 @@ def cms_agg(
 
     def fold(acc, series: pd.Series):
         counts = series.value_counts()
-        vals = [str(v).encode("utf-8") for v in counts.index]
+        keys = pd.Series(counts.index)
+        buf = series_utf8_buffer(keys)
+        vals = buf if buf is not None else [
+            str(v).encode("utf-8") for v in counts.index
+        ]
         C.cms_add(acc.table, vals, counts.to_numpy().astype(np.int64))
         acc.n += int(counts.sum())
 
@@ -191,7 +201,10 @@ def cms_estimate_df(
     def fn(batches):
         table = C.cms_deserialize(bblob.value[8:])
         for pdf in batches:
-            vals = [str(v).encode("utf-8") for v in pdf[value_col]]
+            buf = series_utf8_buffer(pdf[value_col])
+            vals = buf if buf is not None else [
+                str(v).encode("utf-8") for v in pdf[value_col]
+            ]
             ests = C.cms_query(table, vals)
             yield pd.DataFrame(
                 {value_col: pdf[value_col], out_col: pd.array(ests, dtype="int64")}

@@ -1,0 +1,79 @@
+"""Zero-interpreter-loop extraction of UTF-8 byte buffers from Arrow
+arrays and pandas Series.
+
+The sketch folds and minhash/simhash kernels hash variable-length
+strings; materializing ``list[bytes]`` per batch was the last
+per-element Python work on those hot paths (r2 advice).  These helpers
+hand the kernels the Arrow wire layout directly — a flat uint8 data
+buffer plus an (n+1) offsets vector — which `mmh2_64_buffer` consumes
+without touching a Python object per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8, offsets int64) of a string/large_string/binary
+    Arrow array, honoring slice offsets.  Nulls are treated as empty
+    strings (callers drop nulls first when semantics require it)."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"not a string/binary array: {t}")
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offsets
+
+
+def series_utf8_buffer(series: pd.Series):
+    """(data, offsets) for a pandas Series of strings or integers —
+    UTF-8 conversion happens inside Arrow (C), matching
+    ``str(v).encode("utf-8")`` for those dtypes.  Returns None for
+    dtypes whose str() rendering Arrow does not reproduce exactly
+    (floats etc.) — callers fall back to the interpreter loop there."""
+    arr = pa.Array.from_pandas(series)
+    if arr.null_count:
+        arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_integer(t):
+        arr = pc.cast(arr, pa.string())
+    elif not (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return None
+    return string_buffer(arr)
+
+
+def list_string_runs(col: pa.Array):
+    """From an Arrow list<string> column: per-row token counts plus the
+    flat token byte buffer.
+
+    Returns (counts int64 (n,), data uint8, offsets int64 (total+1,)).
+    Null rows count as 0 tokens (they contribute nothing to the flat
+    values, matching the count)."""
+    counts = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = col.flatten()
+    data, offsets = string_buffer(flat)
+    return counts, data, offsets

@@ -15,7 +15,7 @@ import math
 
 import numpy as np
 
-from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes
+from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer, mmh2_64_bytes
 
 
 def cms_params(eps: float, delta: float) -> tuple[int, int]:
@@ -29,14 +29,28 @@ def cms_init(depth: int = 4, width: int = 2048) -> np.ndarray:
     return np.zeros((depth, width), dtype=np.int64)
 
 
-def cms_add(table: np.ndarray, values: list[bytes], counts: np.ndarray | None = None) -> None:
-    """Fold a batch (optionally pre-aggregated with counts) in place."""
-    if not values:
+def _hash_any(values, seeds):
+    """list[bytes] or Arrow-layout (data, offsets) tuple -> (n, len(seeds))."""
+    if isinstance(values, tuple):
+        data, offsets = values
+        return mmh2_64_buffer(data, offsets, seeds)
+    return mmh2_64_bytes(values, seeds)
+
+
+def _n_values(values) -> int:
+    return len(values[1]) - 1 if isinstance(values, tuple) else len(values)
+
+
+def cms_add(table: np.ndarray, values, counts: np.ndarray | None = None) -> None:
+    """Fold a batch (optionally pre-aggregated with counts) in place.
+    ``values``: list[bytes] or an Arrow (data, offsets) tuple."""
+    n = _n_values(values)
+    if n == 0:
         return
     d, w = table.shape
     if counts is None:
-        counts = np.ones(len(values), dtype=np.int64)
-    h = mmh2_64_bytes(values, list(range(d)))  # (n, d)
+        counts = np.ones(n, dtype=np.int64)
+    h = _hash_any(values, list(range(d)))  # (n, d)
     idx = (h % np.uint64(w)).astype(np.int64)
     for r in range(d):
         np.add.at(table[r], idx[:, r], counts)
@@ -48,12 +62,12 @@ def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a + b
 
 
-def cms_query(table: np.ndarray, values: list[bytes]) -> np.ndarray:
+def cms_query(table: np.ndarray, values) -> np.ndarray:
     """Point estimates (min over rows) for a batch of keys."""
     d, w = table.shape
-    if not values:
+    if _n_values(values) == 0:
         return np.empty(0, dtype=np.int64)
-    h = mmh2_64_bytes(values, list(range(d)))
+    h = _hash_any(values, list(range(d)))
     idx = (h % np.uint64(w)).astype(np.int64)
     ests = np.stack([table[r][idx[:, r]] for r in range(d)])
     return ests.min(axis=0)

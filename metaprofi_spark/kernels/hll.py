@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes
+from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer, mmh2_64_bytes
 
 
 def _alpha(m: int) -> float:
@@ -46,13 +46,21 @@ def _clz_in_q_bits(w: np.ndarray, q: int) -> np.ndarray:
     return q - bitlen
 
 
-def hll_add(registers: np.ndarray, values: list[bytes]) -> None:
-    """Fold a batch of byte strings into the register file, in place."""
-    if not values:
+def hll_add(registers: np.ndarray, values) -> None:
+    """Fold a batch into the register file, in place.  ``values`` is a
+    list[bytes] OR an Arrow-layout (data uint8, offsets int64) tuple
+    (kernels/arrowbuf.py) — the latter never touches per-row Python."""
+    if isinstance(values, tuple):
+        data, offsets = values
+        if len(offsets) <= 1:
+            return
+        h = mmh2_64_buffer(data, offsets, [0])[:, 0]
+    elif values:
+        h = mmh2_64_bytes(values, [0])[:, 0]
+    else:
         return
     p = int(np.log2(len(registers)))
     q = 64 - p
-    h = mmh2_64_bytes(values, [0])[:, 0]
     idx = (h >> np.uint64(q)).astype(np.int64)
     w = h & ((np.uint64(1) << np.uint64(q)) - np.uint64(1))
     rho = (_clz_in_q_bits(w, q) + 1).astype(np.uint8)

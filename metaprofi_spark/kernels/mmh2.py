@@ -134,6 +134,47 @@ def mmh2_64_bytes(values: list[bytes], seeds: np.ndarray | list[int]) -> np.ndar
     return out
 
 
+def mmh2_64_buffer(
+    data: np.ndarray, offsets: np.ndarray, seeds: np.ndarray | list[int]
+) -> np.ndarray:
+    """Hash n variable-length byte strings stored as a flat uint8 buffer
+    plus (n+1) offsets — the Arrow string layout — with every seed.
+
+    The zero-interpreter-loop sibling of :func:`mmh2_64_bytes`: length
+    grouping, gathers, and the block mix are all numpy; no Python
+    object is touched per row (the r2 advice item on the minhash/HLL
+    hot paths).  Returns (n, len(seeds)) uint64.
+    """
+    seeds_arr = np.asarray(seeds, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    out = np.empty((n, len(seeds_arr)), dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.diff(offsets)
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    starts = offsets[:-1][order]
+    bounds = np.concatenate(
+        ([0], np.nonzero(slens[1:] != slens[:-1])[0] + 1, [n])
+    )
+    for gi in range(len(bounds) - 1):
+        i, j = int(bounds[gi]), int(bounds[gi + 1])
+        L = int(slens[i])
+        idx = order[i:j]
+        if L == 0:
+            with np.errstate(over="ignore"):
+                h = (seeds_arr ^ np.uint64(0)).copy()
+                h ^= h >> _R
+                h *= _M
+                h ^= h >> _R
+            out[idx] = h
+        else:
+            gather = starts[i:j, None] + np.arange(L, dtype=np.int64)
+            out[idx] = mmh2_64_windows(data[gather], seeds_arr)
+    return out
+
+
 def mmh2_64_scalar(data: bytes, seed: int = 0) -> int:
     """Slow, obviously-correct scalar implementation (test oracle)."""
     m = 0xC6A4A7935BD1E995

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from metaprofi_spark.functions.text import fingerprint
-from metaprofi_spark.kernels.mmh2 import mmh2_64_bytes, mmh2_64_windows
+from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer, mmh2_64_windows
 
 
 def _token_arrays(df: DataFrame, id_col: str, text_col: str, distinct: bool) -> DataFrame:
@@ -36,21 +36,25 @@ def _token_arrays(df: DataFrame, id_col: str, text_col: str, distinct: bool) -> 
     return df.select(F.col(id_col), toks.alias("toks"))
 
 
-def _doc_runs(pdf: pd.DataFrame, id_col: str):
-    """Flatten a batch of token arrays: (kept ids, per-doc counts,
-    per-doc start offsets, flat encoded token list)."""
-    tok_arrays = pdf["toks"].to_numpy()
-    counts = np.fromiter(
-        (len(t) for t in tok_arrays), dtype=np.int64, count=len(tok_arrays)
-    )
+def _doc_runs_arrow(batch, id_col: str):
+    """Flatten a RecordBatch(id, toks list<string>) — ZERO per-token
+    Python (r2 advice): token counts, byte offsets, and the flat UTF-8
+    buffer come straight from the Arrow wire layout.
+
+    Returns (kept ids, per-doc token counts, per-doc token-start
+    offsets, (data, offsets) hash-kernel buffer) or None if the batch
+    has no tokens.  The buffer covers ALL tokens in doc order —
+    token-less docs contribute nothing, so the kept docs' runs line up.
+    """
+    from metaprofi_spark.kernels.arrowbuf import list_string_runs
+
+    counts, data, offsets = list_string_runs(batch.column("toks"))
     keep = np.nonzero(counts)[0]
     if len(keep) == 0:
         return None
-    counts = counts[keep]
-    ids = pdf[id_col].to_numpy()[keep]
-    flat = [t.encode("utf-8") for i in keep for t in tok_arrays[i]]
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    return ids, counts, starts, flat
+    starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+    return ids, counts[keep], starts_all[keep], (data, offsets)
 
 
 # ---------------------------------------------------------------------------
@@ -158,25 +162,23 @@ def minhash_bands(
     """
     if n_perm % bands:
         raise ValueError("bands must divide n_perm")
+    import pyarrow as pa
+
     rows_per_band = n_perm // bands
     seeds = list(range(n_perm))
-    _empty = {
-        "id": pd.array([], dtype="int64"),
-        "band_id": pd.array([], dtype="int32"),
-        "band_hash": pd.array([], dtype="int64"),
-    }
+    _names = ["id", "band_id", "band_hash"]
 
     def sig(batches):
-        for pdf in batches:
-            runs = _doc_runs(pdf, id_col)
+        for batch in batches:
+            runs = _doc_runs_arrow(batch, id_col)
             if runs is None:
-                yield pd.DataFrame(_empty)
                 continue
-            ids, counts, starts, flat = runs
+            ids, counts, starts, buf = runs
             n_docs = len(ids)
-            # ONE hash call for the whole batch x all seeds, then
-            # per-doc segment minima — no per-row python
-            h = mmh2_64_bytes(flat, seeds)  # (total_tokens, n_perm)
+            # ONE hash call for the whole batch x all seeds straight
+            # from the Arrow byte buffer (zero per-token python), then
+            # per-doc segment minima
+            h = mmh2_64_buffer(*buf, seeds)  # (total_tokens, n_perm)
             sigmat = np.minimum.reduceat(h, starts, axis=0)  # (n_docs, n_perm)
             # band hash = mmh2(band slice bytes, seed=band): one
             # vectorized call per band over the signature byte matrix
@@ -189,19 +191,16 @@ def minhash_bands(
                 chunk = np.ascontiguousarray(sig_bytes[:, b * w : (b + 1) * w])
                 bh[:, b] = mmh2_64_windows(chunk, [b])[:, 0]
             bh &= np.uint64(0x7FFFFFFFFFFFFFFF)
-            yield pd.DataFrame(
-                {
-                    "id": pd.array(np.repeat(ids, bands).astype(np.int64), dtype="int64"),
-                    "band_id": pd.array(
-                        np.tile(np.arange(bands, dtype=np.int32), n_docs), dtype="int32"
-                    ),
-                    "band_hash": pd.array(
-                        bh.reshape(-1).astype(np.int64), dtype="int64"
-                    ),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands).astype(np.int64), pa.int64()),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()),
+                    pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+                ],
+                names=_names,
             )
 
-    return _token_arrays(df, id_col, text_col, distinct=True).mapInPandas(
+    return _token_arrays(df, id_col, text_col, distinct=True).mapInArrow(
         sig, "id long, band_id int, band_hash long"
     )
 
@@ -289,6 +288,79 @@ def minhash_lsh_candidates(
         )
     )
     return cross.unionByName(intra)
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    tau_pct: int = 80,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates exact-verified by token-set Jaccard >= tau_pct —
+    the reference's candidate-then-exact-verify search shape
+    (search_index.py:518-575) applied to dedup.
+
+    Output schema matches :func:`ngram_jaccard_pairs`
+    (id_a, id_b, shared, size_a, size_b), so when the LSH layer has
+    zero false negatives on the corpus (the S-curve at tau=0.8 with
+    r=4, b=16 gives miss prob <= 2e-4/pair; identical token sets
+    collide with probability 1), the result is SET-EQUAL to the
+    quadratic ground truth — which makes this hash-exact checkable
+    against the same SQL oracle while running the LINEAR plan:
+    candidates from the banded join, then one per-pair verify with
+    codegen'd array_intersect (no token re-shuffle, no pair explosion
+    beyond the candidate list)."""
+    cand = minhash_lsh_candidates(df, n_perm, bands, id_col, text_col)
+    toks = _token_arrays(df, id_col, text_col, distinct=True).select(
+        F.col(id_col).alias("__tid"), F.col("toks")
+    )
+    a = toks.select(F.col("__tid").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("__tid").alias("id_b"), F.col("toks").alias("tb"))
+    shared = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared"),
+            F.size("ta").alias("size_a"),
+            F.size("tb").alias("size_b"),
+        )
+        .filter(
+            F.col("shared") * 100
+            >= F.lit(tau_pct) * (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        )
+    )
+
+
+def simhash_verified_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash candidates exact-verified by fingerprint equality:
+    (id_a, id_b) pairs that share a Hamming block AND have identical
+    normalized text.
+
+    This is PROVABLY set-equal to the SQL fingerprint self-join (the
+    oracle): md5-equal normalized text => identical token sequence =>
+    identical simhash => hamming 0 => shares every block => always a
+    candidate (pigeonhole never misses distance 0).  So the filter
+    removes exactly the non-identical candidates and the gate pins the
+    whole simhash path (signature kernel, block join, collapse) with a
+    hash-exact row.  Docs with zero tokens have no simhash; the oracle
+    applies the same restriction."""
+    cand = simhash_candidates(df, id_col, text_col).filter(F.col("hamming") == 0)
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("fp_a") == F.col("fp_b"))
+        .select("id_a", "id_b")
+    )
 
 
 def near_dup_components(
@@ -405,7 +477,8 @@ def simhash_signatures(
     token OCCURRENCE (every occurrence votes ±1 per bit — equivalent to
     the frequency-weighted unique-token formulation, since the vote sum
     distributes over duplicates).  Returns (id, simhash long)."""
-    _empty = {"id": pd.array([], dtype="int64"), "simhash": pd.array([], dtype="int64")}
+    import pyarrow as pa
+
     # doc-aligned slabs sized so the (tokens, 64) uint8 bit matrix stays
     # L2-resident (8192*64 = 512 KB) — this box is RAM-bandwidth-bound,
     # and the r2 regression came from streaming a 64 MB int32 expansion;
@@ -414,14 +487,13 @@ def simhash_signatures(
     slab_tokens = 1 << 13
 
     def sig(batches):
-        for pdf in batches:
-            runs = _doc_runs(pdf, id_col)
+        for batch in batches:
+            runs = _doc_runs_arrow(batch, id_col)
             if runs is None:
-                yield pd.DataFrame(_empty)
                 continue
-            ids, counts, starts, flat = runs
+            ids, counts, starts, buf = runs
             n_docs = len(ids)
-            h = mmh2_64_bytes(flat, [0])[:, 0]  # one call: (total_tokens,)
+            h = mmh2_64_buffer(*buf, [0])[:, 0]  # one call: (total_tokens,)
             sims = np.empty(n_docs, dtype=np.int64)
             d0 = 0
             while d0 < n_docs:
@@ -444,12 +516,13 @@ def simhash_signatures(
                     votes > 0, axis=1, bitorder="little"
                 ).view(np.int64)[:, 0]
                 d0 = d1
-            yield pd.DataFrame(
-                {"id": pd.array(ids.astype(np.int64), dtype="int64"),
-                 "simhash": pd.array(sims, dtype="int64")}
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids.astype(np.int64), pa.int64()),
+                 pa.array(sims, pa.int64())],
+                names=["id", "simhash"],
             )
 
-    return _token_arrays(df, id_col, text_col, distinct=False).mapInPandas(
+    return _token_arrays(df, id_col, text_col, distinct=False).mapInArrow(
         sig, "id long, simhash long"
     )
 

@@ -201,30 +201,44 @@ def lsh_bucket_ids(
 
 
 def _rerank_candidates(
-    cand: DataFrame, df: DataFrame, k: int, id_col: str, vec_col: str
+    cand: DataFrame,
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    quantized: bool = False,
 ) -> DataFrame:
-    """Exact cosine re-rank of (query_id, neighbor_id) candidate pairs
-    (shared by the LSH and IVF paths)."""
+    """Exact re-rank of (query_id, neighbor_id) candidate pairs (shared
+    by the LSH and IVF paths).  ``quantized=True`` ranks by the integer
+    quantized dot product (round(x*1000) as long) — the same scoring as
+    :func:`knn_topk_quantized`, so an ANN result whose candidate set
+    covers the true top-k is BIT-IDENTICAL to the brute-force baseline
+    (the verified-gate tier)."""
     from pyspark.sql.window import Window
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
     qv = vecs.withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
     cv = vecs.withColumnsRenamed({id_col: "neighbor_id", vec_col: "cv"})
-    norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
+    if quantized:
+        score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
+        out_col = "dot"
+    else:
+        norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
+        score = (
+            _dot_double(F.col("qv"), F.col("cv"))
+            / (norm(F.col("qv")) * norm(F.col("cv")))
+        ).alias("cosine")
+        out_col = "cosine"
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot_double(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", score)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", out_col)
     )
 
 
@@ -237,9 +251,13 @@ def ann_lsh_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: LSH bucket join -> exact cosine re-rank
-    within candidates.  Recall measured against brute force in tests."""
+    """Approximate top-k: LSH bucket join -> exact re-rank within
+    candidates.  Recall measured against brute force in tests.
+    ``quantized=True`` re-ranks with the integer dot product so the
+    result is comparable bit-for-bit to :func:`knn_topk_quantized`
+    whenever the buckets cover the true top-k (the verified gate)."""
     buckets = lsh_bucket_ids(df, dim, n_bits, n_tables, id_col, vec_col)
     qb = buckets.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), "table_id", "bucket"
@@ -250,7 +268,7 @@ def ann_lsh_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    return _rerank_candidates(cand, df, k, id_col, vec_col)
+    return _rerank_candidates(cand, df, k, id_col, vec_col, quantized=quantized)
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
             pdf[c] = pdf[c].astype(str)
         elif str(pdf[c].dtype).startswith("float"):
             pdf[c] = pdf[c].round(9)
-    rows = sorted(pdf.astype(str).apply("|".join, axis=1).tolist())
+    if len(pdf) == 0:
+        rows = []
+    else:
+        rows = sorted(pdf.astype(str).apply("|".join, axis=1).tolist())
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 

@@ -445,3 +445,54 @@ def test_clean_corpus_pipeline(spark, docs):
     # lazy variant produces the same rows
     lazy, s2 = clean_corpus(df, min_quality=0.3, with_stats=False)
     assert s2 == {} and {r.doc_id for r in lazy.collect()} == ids
+
+
+# ------------------- verified (hash-exact gate) tiers ----------------------
+
+def test_minhash_verified_pairs_equal_exact_jaccard(spark, docs):
+    """Candidates + per-pair exact verify == the quadratic ground truth
+    (zero false negatives of the banded LSH on this corpus)."""
+    from metaprofi_spark.operators.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.limit(200)
+    got = {tuple(r) for r in minhash_verified_pairs(d, 80).collect()}
+    want = {tuple(r) for r in ngram_jaccard_pairs(d, 80).collect()}
+    assert got == want and got
+
+
+def test_simhash_verified_pairs_equal_fingerprint_pairs(spark, docs):
+    """hamming-0 candidates verified by fingerprint == fingerprint
+    self-join pairs (provable: equal normalized text => equal simhash
+    => candidate)."""
+    from metaprofi_spark.functions.text import fingerprint
+    from metaprofi_spark.operators.dedup import simhash_verified_pairs
+
+    base = docs.limit(30).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(planted)
+    got = {(r.id_a, r.id_b) for r in simhash_verified_pairs(d).collect()}
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    a = fp.selectExpr("doc_id as id_a", "fp as fa")
+    b = fp.selectExpr("doc_id as id_b", "fp as fb")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, (F.col("fa") == F.col("fb")) & (F.col("id_a") < F.col("id_b"))).collect()
+    }
+    assert got == want and got
+
+
+def test_ann_lsh_quantized_rerank_matches_brute_force(spark, embeddings):
+    """With enough tables the LSH candidate union covers the true top-k
+    and the quantized re-rank is bit-identical to knn_topk_quantized."""
+    from metaprofi_spark.operators.similarity import ann_lsh_topk
+
+    got = {tuple(r) for r in ann_lsh_topk(
+        embeddings, [0, 1, 2], dim=64, k=5, n_bits=4, n_tables=24, quantized=True
+    ).collect()}
+    want = {tuple(r) for r in knn_topk_quantized(embeddings, [0, 1, 2], k=5).collect()}
+    assert got == want and got
