@@ -47,6 +47,34 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--id-col", default="doc_id")
     u.add_argument("--text-col", default="text")
 
+    # staged pipeline — the reference's build_matrix / build_index /
+    # update_index subcommands (metaprofi_main.py:216-247)
+    bm = sub.add_parser("build-matrix", help="stage 1: persist the Bloom matrix only")
+    bm.add_argument("--k", type=int, default=12)
+    bm.add_argument("--h", type=int, default=2)
+    bm.add_argument("--m", type=int, default=1 << 20)
+    bm.add_argument("--slice-buckets", type=int, default=64)
+    bm.add_argument("--cores", default="*")
+    bm.add_argument("--normalize", default="lower",
+                    choices=["lower", "none", "canonical"])
+    bm.add_argument("--sequence-type", default="text",
+                    choices=["text", "nucleotide", "aminoacid"])
+    bm.add_argument("--input", required=True)
+    bm.add_argument("--id-col", default="doc_id")
+    bm.add_argument("--text-col", default="text")
+    bm.add_argument("--matrix-store", required=True)
+
+    bi = sub.add_parser("build-index", help="stage 2: index a pre-built matrix store")
+    bi.add_argument("--matrix-store", required=True)
+    bi.add_argument("--store", required=True)
+    bi.add_argument("--sample-bucket-size", type=int, default=None)
+    bi.add_argument("--cores", default="*")
+
+    ui = sub.add_parser("update-index", help="append a pre-built update matrix to the index")
+    ui.add_argument("--matrix-store", required=True)
+    ui.add_argument("--store", required=True)
+    ui.add_argument("--cores", default="*")
+
     s = sub.add_parser("search")
     common(s)
     s.add_argument("-s", "--sequence", action="append", default=[],
@@ -84,13 +112,15 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(cores=cores, app_name=f"metaprofi-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = SketchConfig(
-        k=args.k, h=args.h, m=args.m,
-        # chunk width: byte- and slab-aligned, capped at 2^20 bits
-        chunk_bits=min((args.m + 2047) // 2048 * 2048, 1 << 20),
-        slice_buckets=args.slice_buckets,
-        normalize=args.normalize, sequence_type=args.sequence_type,
-    )
+    cfg = None
+    if hasattr(args, "k"):  # staged index/update read config from manifests
+        cfg = SketchConfig(
+            k=args.k, h=args.h, m=args.m,
+            # chunk width: byte- and slab-aligned, capped at 2^20 bits
+            chunk_bits=min((args.m + 2047) // 2048 * 2048, 1 << 20),
+            slice_buckets=args.slice_buckets,
+            normalize=args.normalize, sequence_type=args.sequence_type,
+        )
     try:
         if args.cmd == "build":
             docs = spark.read.parquet(args.input)
@@ -109,6 +139,22 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(args.input)
             out = api.update(spark, args.store, docs, cfg,
                              id_col=args.id_col, text_col=args.text_col)
+            print(json.dumps(out))
+        elif args.cmd == "build-matrix":
+            docs = spark.read.parquet(args.input)
+            out = api.build_matrix_store(
+                spark, docs, cfg, args.matrix_store,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            print(json.dumps(out))
+        elif args.cmd == "build-index":
+            out = api.build_index_from_matrix(
+                spark, args.matrix_store, args.store,
+                sample_bucket_size=args.sample_bucket_size,
+            )
+            print(json.dumps(out))
+        elif args.cmd == "update-index":
+            out = api.update_index_from_matrix(spark, args.store, args.matrix_store)
             print(json.dumps(out))
         elif args.cmd == "search":
             if args.file:

@@ -38,6 +38,54 @@ def matrix(docs: DataFrame, cfg: SketchConfig,
     return build_matrix(docs, cfg, id_col=id_col, text_col=text_col)
 
 
+def build_matrix_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: SketchConfig,
+    matrix_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Staged `build_matrix` subcommand (metaprofi_main.py:216-225):
+    persist the Bloom matrix alone; `build_index_from_matrix` turns it
+    into a searchable store later."""
+    from metaprofi_spark.operators import persist_matrix
+
+    n = docs.count()
+    bf = build_matrix(docs, cfg, id_col=id_col, text_col=text_col)
+    persist_matrix(bf, matrix_path, cfg, n_samples=n)
+    return {"n_samples": n, "matrix_path": matrix_path}
+
+
+def build_index_from_matrix(
+    spark: SparkSession,
+    matrix_path: str,
+    path: str,
+    sample_bucket_size: int | None = None,
+) -> dict:
+    """Staged `build_index` subcommand (metaprofi_main.py:227-236):
+    index a PRE-BUILT matrix store.  Config and n_samples come from the
+    matrix manifest (F8-guarded)."""
+    from metaprofi_spark.operators import load_matrix
+
+    bf, cfg, manifest = load_matrix(spark, matrix_path)
+    idx = build_index(bf, cfg, sample_bucket_size=sample_bucket_size)
+    persist_index(
+        idx, path, cfg, n_samples=int(manifest["n_samples"]),
+        sample_bucket_size=sample_bucket_size,
+    )
+    return store_summary(spark, path)
+
+
+def update_index_from_matrix(
+    spark: SparkSession, path: str, matrix_path: str
+) -> dict:
+    """Staged `update_index` subcommand (metaprofi_main.py:238-247):
+    append a pre-built update matrix (sample_idx dense 0..n_new-1) to
+    an existing index store as a new snapshot segment."""
+    return update_store(spark, path, matrix_path=matrix_path)
+
+
 def build(
     spark: SparkSession,
     docs: DataFrame,

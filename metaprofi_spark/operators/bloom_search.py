@@ -82,8 +82,12 @@ def write_results_stream(res: DataFrame, path: str, threshold: int) -> None:
                 )
 
 
-def parse_results(text: str) -> dict[str, list[dict]]:
-    """S10 results parser (utilities.py:655-733): report -> dict."""
+def parse_results(text: str, with_stats: bool = False):
+    """S10 results parser (utilities.py:655-733): report -> dict.
+
+    ``with_stats=True`` additionally returns the reference parser's
+    summary stats (utilities.py:706-733): total queries, total matched
+    samples, and distinct matched samples — as (results, stats)."""
     out: dict[str, list[dict]] = {}
     current = None
     for line in text.splitlines():
@@ -100,7 +104,16 @@ def parse_results(text: str) -> dict[str, list[dict]]:
                 )
             else:
                 out[current].append({"sample": int(body)})
-    return out
+    if not with_stats:
+        return out
+    stats = {
+        "n_queries": len(out),
+        "n_samples": sum(len(v) for v in out.values()),
+        "n_unique_samples": len(
+            {m["sample"] for v in out.values() for m in v}
+        ),
+    }
+    return out, stats
 
 
 def hash_queries(

@@ -140,13 +140,14 @@ def update_index(
 def update_store(
     spark: SparkSession,
     path: str,
-    new_docs: DataFrame,
-    cfg: SketchConfig,
+    new_docs: DataFrame | None = None,
+    cfg: SketchConfig | None = None,
     sample_bucket_size: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     fail_before_commit: bool = False,
     segment_name: str | None = None,
+    matrix_path: str | None = None,
 ) -> dict:
     """Persisted-store variant: write the new slabs as a NEW SEGMENT
     directory, then commit by atomically rewriting the manifest.
@@ -172,6 +173,12 @@ def update_store(
     at-least-once — passing the micro-batch id as the segment name is
     what upgrades the sink to exactly-once across batch RETRIES, not
     just crashes (streaming/append.py does this).
+
+    ``matrix_path`` (instead of ``new_docs``) appends from a PRE-BUILT
+    matrix store — the reference's staged ``update_index`` subcommand,
+    which indexes a matrix the ``build_matrix``-with-update step wrote
+    earlier (metaprofi_main.py:238-247).  The matrix's sample_idx must
+    be dense 0..n_new-1; its config is F8-checked against the store.
     """
     import time
 
@@ -191,13 +198,23 @@ def update_store(
             # named segment already committed: at-least-once caller retried
             # after success — exactly-once means doing nothing
             return manifest
+        cfg = cfg if cfg is not None else _stored_cfg
         bucket = manifest.get(
             "sample_bucket_size", plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
         )
         base = next_sample_base(manifest["n_samples"], bucket)
-        shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
-        n_new = shifted.count()
-        bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
+        if matrix_path is not None:
+            from metaprofi_spark.operators.bloom_build import load_matrix
+
+            bf_raw, _mcfg, m_manifest = load_matrix(spark, matrix_path, cfg)
+            n_new = int(m_manifest["n_samples"])
+            bf = bf_raw.withColumn("sample_idx", F.col("sample_idx") + F.lit(base))
+        elif new_docs is not None:
+            shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
+            n_new = shifted.count()
+            bf = build_matrix(shifted, cfg, id_col="__sid", text_col=text_col)
+        else:
+            raise ValueError("update_store needs new_docs or matrix_path")
         new_slabs = build_index(bf, cfg, sample_bucket_size=bucket)
         new_slabs.write.mode("overwrite").partitionBy("slice_bucket").parquet(
             os.path.join(path, "index", f"seg={seg}")

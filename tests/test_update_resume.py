@@ -582,3 +582,62 @@ def test_vacuum_never_deletes_midflight_segment(spark, docs, tmp_path):
     # after the writer released (segment never committed -> orphan), swept
     assert results == [["u99"]]
     assert not os.path.isdir(orphan)
+
+
+def test_cli_staged_build_matrix_index_update(spark, docs, tmp_path, capsys):
+    """Staged build-matrix -> build-index -> update-index subcommands
+    (reference metaprofi_main.py:216-247) must yield a store whose
+    search results equal the one-shot full build."""
+    import json as _json
+
+    from metaprofi_spark.__main__ import main
+    from metaprofi_spark import api
+
+    d = docs.limit(120).select("doc_id", "text")
+    first = d.filter(F.col("doc_id") < 60)
+    second = (
+        d.filter(F.col("doc_id") >= 60)
+        .select((F.col("doc_id") - 60).alias("doc_id"), "text")
+    )
+    p_first = str(tmp_path / "first.parquet")
+    p_second = str(tmp_path / "second.parquet")
+    first.write.parquet(p_first)
+    second.write.parquet(p_second)
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    store = str(tmp_path / "staged_store")
+    args_cfg = ["--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8"]
+    assert main(["build-matrix", "--input", p_first, "--matrix-store", m1] + args_cfg) == 0
+    assert main(["build-index", "--matrix-store", m1, "--store", store,
+                 "--sample-bucket-size", "64", "--cores", "8"]) == 0
+    assert main(["build-matrix", "--input", p_second, "--matrix-store", m2] + args_cfg) == 0
+    assert main(["update-index", "--matrix-store", m2, "--store", store,
+                 "--cores", "8"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_samples"] == 64 + 60  # bucket-aligned base + n_new
+
+    # staged store search == one-shot full build search
+    cfg = SketchConfig(k=8, h=2, m=1 << 16, chunk_bits=1 << 16, slice_buckets=8)
+    probe = [r.text[:40] for r in d.filter(F.col("doc_id") == 3).collect()][0]
+    res_staged = api.query(spark, store, [("q", probe)], 100)
+    full_store = str(tmp_path / "full_store")
+    # full build with the same bucket-aligned layout: ids >= 60 shifted to 64+
+    full_docs = first.unionByName(
+        second.select((F.col("doc_id") + 64).alias("doc_id"), "text")
+    )
+    api.build(spark, full_docs, cfg, full_store, sample_bucket_size=64)
+    res_full = api.query(spark, full_store, [("q", probe)], 100)
+    got = {(r.query_id, r.sample_idx) for r in res_staged.collect()}
+    want = {(r.query_id, r.sample_idx) for r in res_full.collect()}
+    assert got == want and got
+
+
+def test_parse_results_with_stats():
+    from metaprofi_spark.operators.bloom_search import parse_results
+
+    text = (
+        "Query: a\n\t3\n\t5\nQuery: b\n\t5\n"
+    )
+    res, stats = parse_results(text, with_stats=True)
+    assert res == {"a": [{"sample": 3}, {"sample": 5}], "b": [{"sample": 5}]}
+    assert stats == {"n_queries": 2, "n_samples": 3, "n_unique_samples": 2}
