@@ -160,6 +160,19 @@ def query_throughput(spark) -> dict[str, float]:
             walls.append(round(time.time() - t0, 3))
             assert n >= 0
         out[f"query_1000_t{t}"] = min(walls)
+    # the million-read shape's plan: hash rows stay distributed and the
+    # index join SHUFFLES on range_id instead of broadcasting the
+    # queries — recorded so the non-broadcast path has a pinned number
+    search_df(spark, index_df, qdf, cfg, 75, bucket, broadcast_queries=False).count()
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n = search_df(
+            spark, index_df, qdf, cfg, 75, bucket, broadcast_queries=False
+        ).count()
+        walls.append(round(time.time() - t0, 3))
+        assert n >= 0
+    out["query_1000_t75_shuffle"] = min(walls)
     index_df.unpersist()
     return out
 

@@ -147,6 +147,7 @@ def build_index_fused(
     text_col: str = "text",
     slice_block: int = 1 << 13,
     shuffle_partitions: int | None = None,
+    prehash: bool = False,
 ) -> DataFrame:
     """One-shuffle, zero-intermediate build: docs -> slabs directly.
 
@@ -160,6 +161,16 @@ def build_index_fused(
     parallelism is bounded by the BUCKET count (a 5k-doc corpus with
     4k-wide buckets is 2 tasks), while the two-stage matrix map
     parallelizes across all input splits.
+
+    ``prehash=True`` (experimental, off by default) moves the
+    shingle+hash stage BEFORE the shuffle: map tasks emit each doc's
+    bit positions as one packed binary blob (u32/u64 per position) and
+    the bucket shuffle carries positions instead of text.  Trades
+    shuffle volume (h*4 bytes per k-gram vs ~1 byte of text) for
+    map-side hash parallelism and a text-free reduce — measured on this
+    box it LOSES (see BASELINE.md round-3 note: the extra Python
+    round-trip dominates), kept as the knob the scaling-tail experiment
+    asked for.
     """
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     width_bytes = (bucket + 7) // 8
@@ -170,30 +181,9 @@ def build_index_fused(
     slice_block = max(slice_block // rsize, 1) * rsize
     from metaprofi_spark.kernels import set_bits, shingle_positions
 
-    def fn(batches):
-        # bucket -> (packed filter matrix rows, local ids seen)
-        mats: dict[int, np.ndarray] = {}
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            doc_idx, pos = shingle_positions(
-                pdf[text_col].tolist(), cfg.k, cfg.seeds, cfg.m_padded, cfg.normalize
-            )
-            if len(doc_idx) == 0:
-                continue
-            h = len(cfg.seeds)
-            counts = np.bincount(doc_idx, minlength=len(ids)) * h
-            nz = np.nonzero(counts)[0]
-            run_ends = np.cumsum(counts[nz])
-            run_starts = run_ends - counts[nz]
-            flat = pos.reshape(-1)
-            for r, d in enumerate(nz):
-                gid = int(ids[d])
-                b = gid // bucket
-                m = mats.get(b)
-                if m is None:
-                    m = mats[b] = np.zeros((bucket, cfg.packed_bytes), dtype=np.uint8)
-                local = gid - b * bucket
-                set_bits(m[local], flat[run_starts[r] : run_ends[r]])
+    pos_dtype = np.uint32 if cfg.m_padded <= 0xFFFFFFFF else np.uint64
+
+    def emit_slabs(mats):
         for b, m in mats.items():
             out_rid: list[int] = []
             out_bits: list[bytes] = []
@@ -220,6 +210,67 @@ def build_index_fused(
                 }
             )
 
+    def fn(batches):
+        # bucket -> (packed filter matrix rows, local ids seen)
+        mats: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            doc_idx, pos = shingle_positions(
+                pdf[text_col].tolist(), cfg.k, cfg.seeds, cfg.m_padded, cfg.normalize
+            )
+            if len(doc_idx) == 0:
+                continue
+            h = len(cfg.seeds)
+            counts = np.bincount(doc_idx, minlength=len(ids)) * h
+            nz = np.nonzero(counts)[0]
+            run_ends = np.cumsum(counts[nz])
+            run_starts = run_ends - counts[nz]
+            flat = pos.reshape(-1)
+            for r, d in enumerate(nz):
+                gid = int(ids[d])
+                b = gid // bucket
+                m = mats.get(b)
+                if m is None:
+                    m = mats[b] = np.zeros((bucket, cfg.packed_bytes), dtype=np.uint8)
+                local = gid - b * bucket
+                set_bits(m[local], flat[run_starts[r] : run_ends[r]])
+        yield from emit_slabs(mats)
+
+    def map_hash(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            doc_idx, pos = shingle_positions(
+                pdf[text_col].tolist(), cfg.k, cfg.seeds, cfg.m_padded, cfg.normalize
+            )
+            h = len(cfg.seeds)
+            counts = np.bincount(doc_idx, minlength=len(ids)) * h
+            flat = pos.reshape(-1).astype(pos_dtype)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "pos_blob": [
+                        flat[s:e].tobytes() for s, e in zip(starts, ends)
+                    ],
+                }
+            )
+
+    def fn_prehashed(batches):
+        mats: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            for gid, blob in zip(ids, pdf["pos_blob"]):
+                if not blob:
+                    continue
+                gid = int(gid)
+                b = gid // bucket
+                m = mats.get(b)
+                if m is None:
+                    m = mats[b] = np.zeros((bucket, cfg.packed_bytes), dtype=np.uint8)
+                set_bits(m[gid - b * bucket], np.frombuffer(blob, pos_dtype))
+        yield from emit_slabs(mats)
+
     # Every sample_bucket must land WHOLLY in one task (fn accumulates a
     # full per-bucket matrix), so the shuffle keys on the bucket id.
     # The partition count is a balance knob: measured A/B on this box,
@@ -232,10 +283,19 @@ def build_index_fused(
         shuffle_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    shuffled = docs.select(id_col, text_col).repartition(
-        shuffle_partitions, F.floor(F.col(id_col) / F.lit(bucket))
-    )
-    idx = shuffled.mapInPandas(fn, INDEX_SCHEMA)
+    if prehash:
+        hashed = docs.select(id_col, text_col).mapInPandas(
+            map_hash, f"{id_col} long, pos_blob binary"
+        )
+        shuffled = hashed.repartition(
+            shuffle_partitions, F.floor(F.col(id_col) / F.lit(bucket))
+        )
+        idx = shuffled.mapInPandas(fn_prehashed, INDEX_SCHEMA)
+    else:
+        shuffled = docs.select(id_col, text_col).repartition(
+            shuffle_partitions, F.floor(F.col(id_col) / F.lit(bucket))
+        )
+        idx = shuffled.mapInPandas(fn, INDEX_SCHEMA)
     return idx.withColumn(
         "slice_bucket",
         (F.col("range_id") * F.lit(rsize) / F.lit(sb_size)).cast("int"),
