@@ -317,6 +317,11 @@ def test_fused_build_equals_two_stage(spark, docs):
     a = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in fused.collect()}
     b = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in two.collect()}
     assert a == b and a
+    # the prehash experiment path (positions through the shuffle) is
+    # slab-exact too (BASELINE.md round-3: slower here, kept as a knob)
+    pre = build_index_fused(docs, CFG, sample_bucket_size=BUCKET, prehash=True)
+    c = {(r.range_id, r.sample_bucket, bytes(r.bits), r.slice_bucket) for r in pre.collect()}
+    assert c == a
 
 
 def test_hash_queries_vectorized_semantics():
