@@ -398,18 +398,37 @@ def near_dup_components(
     """
     from pyspark.sql.window import Window
 
-    def ckpt(frame: DataFrame) -> DataFrame:
-        return frame.checkpoint() if reliable_checkpoint else frame.localCheckpoint()
-
     b = minhash_bands(df, n_perm, bands, id_col, text_col)
     w = Window.partitionBy("band_id", "band_hash")
-    edges = ckpt(
+    edges = (
         b.withColumn("rep", F.min("id").over(w))
         .filter(F.col("id") != F.col("rep"))
         .select("id", "rep")
         .distinct()
     )
-    labels = ckpt(b.select("id").distinct().withColumn("comp", F.col("id")))
+    return min_label_propagation(
+        edges, b.select("id").distinct(), max_iter, reliable_checkpoint
+    )
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components of an (id, rep) star-edge graph by min-label
+    propagation: (id, comp).  Shared by the text (MinHash) and embedding
+    (random-hyperplane LSH) dedup scale paths.  Each round is
+    checkpointed to truncate lineage; raises if the iteration cap is hit
+    while labels still move (r2 advice — silent partial dedup is worse
+    than failing)."""
+    def ckpt(frame: DataFrame) -> DataFrame:
+        return frame.checkpoint() if reliable_checkpoint else frame.localCheckpoint()
+
+    edges = ckpt(edges)
+    labels = ckpt(nodes.withColumn("comp", F.col("id")))
+    changed = 0
     for _ in range(max_iter):
         via_rep = (
             edges.join(labels.withColumnRenamed("id", "rep"), "rep")
@@ -434,11 +453,8 @@ def near_dup_components(
         if changed == 0:
             break
     else:
-        # exhausted max_iter with labels still moving: downstream dedup
-        # would silently keep several representatives per component —
-        # fail loudly instead (r2 advice)
         raise RuntimeError(
-            f"near_dup_components did not converge in {max_iter} rounds "
+            f"min_label_propagation did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter (component "
             "diameter exceeds the iteration cap)"
         )

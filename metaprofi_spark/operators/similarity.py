@@ -271,6 +271,42 @@ def ann_lsh_topk(
     return _rerank_candidates(cand, df, k, id_col, vec_col, quantized=quantized)
 
 
+def embedding_near_dup_components(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    max_iter: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components of the LSH bucket-collision graph over
+    EMBEDDINGS: (id, component) — the embedding-modality sibling of the
+    text dedup scale path (dedup.near_dup_components).
+
+    Same linear-size recipe: per (table, bucket) emit star edges
+    (id -> bucket min), never pairs, then min-label propagation —
+    a 1M-vector boilerplate cluster costs 1M edges instead of 5*10^11
+    pairs.  Components equal the transitive closure of the
+    bucket-sharing pair graph (pinned by test)."""
+    from pyspark.sql.window import Window
+
+    from metaprofi_spark.operators.dedup import min_label_propagation
+
+    b = lsh_bucket_ids(df, dim, n_bits, n_tables, id_col, vec_col)
+    w = Window.partitionBy("table_id", "bucket")
+    edges = (
+        b.withColumn("rep", F.min("id").over(w))
+        .filter(F.col("id") != F.col("rep"))
+        .select("id", "rep")
+        .distinct()
+    )
+    return min_label_propagation(
+        edges, b.select("id").distinct(), max_iter, reliable_checkpoint
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF — coarse-quantizer ANN (the inverted-file scale path)
 # ---------------------------------------------------------------------------

@@ -805,6 +805,19 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, nprobe=8)
 
 
+def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup connected components (LSH star edges +
+    min-label propagation — the embedding dedup SCALE path;
+    deterministic, equality with the pair-graph closure pinned in
+    tests; rows-only gate)."""
+    from metaprofi_spark.operators.similarity import embedding_near_dup_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 12-bit buckets keep collision clusters tight => star graph diameter
+    # (and so propagation round count) stays small at gate scale
+    return embedding_near_dup_components(emb, dim=64, n_bits=12, n_tables=4)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode/feature plumbing (deterministic fake decoder
     — stable across partitionings; no SQL oracle).
@@ -1083,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
         "embedding_near_dup": embedding_near_dup,
+        "embedding_components": embedding_components,
         "multimodal_decode": multimodal_decode,
         "multimodal_meta": multimodal_meta,
     }

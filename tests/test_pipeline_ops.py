@@ -496,3 +496,45 @@ def test_ann_lsh_quantized_rerank_matches_brute_force(spark, embeddings):
     ).collect()}
     want = {tuple(r) for r in knn_topk_quantized(embeddings, [0, 1, 2], k=5).collect()}
     assert got == want and got
+
+
+def test_embedding_near_dup_components_equal_closure(spark, embeddings):
+    """Embedding LSH components == union-find transitive closure of the
+    bucket-sharing pair graph."""
+    from metaprofi_spark.operators.similarity import (
+        embedding_near_dup_components,
+        lsh_bucket_ids,
+    )
+
+    emb = embeddings.limit(300)
+    comp = {
+        r.id: r.comp
+        for r in embedding_near_dup_components(emb, dim=64, n_bits=6, n_tables=4).collect()
+    }
+    b = lsh_bucket_ids(emb, 64, 6, 4)
+    a_, b_ = b.alias("a"), b.alias("b")
+    pairs = (
+        a_.join(
+            b_,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    parent = {i: i for i in comp}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        rx, ry = find(r.x), find(r.y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    expect = {i: find(i) for i in comp}
+    assert comp == expect and comp
