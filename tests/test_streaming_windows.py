@@ -96,3 +96,46 @@ def test_sessionize_stream_emits_closed_sessions(spark, events, tmp_path):
         for r in spark.sql("select * from sess").collect()
     }
     assert got == expect
+
+
+def test_streaming_hll_equals_batch_fold(spark, events, tmp_path):
+    """The stateful streaming HLL (applyInPandasWithState; state = the
+    serialized register file) must end at EXACTLY the batch UDAF's
+    estimate over everything streamed — the mergeable-sketch law lifted
+    to micro-batch folding, across MULTIPLE batches."""
+    from metaprofi_spark.functions.sketch_agg import hll_agg
+    from metaprofi_spark.streaming.sketches import streaming_hll_distinct
+
+    # two separate files => at least two micro-batches with 1 file/trigger
+    src = str(tmp_path / "ev_hll")
+    ev = events.select("event_type", F.col("user_id").cast("string").alias("uid"))
+    ev.filter(F.col("uid").cast("long") % 2 == 0).write.parquet(src + "/a")
+    ev.filter(F.col("uid").cast("long") % 2 == 1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_hll_distinct(stream, "event_type", "uid", p=12)
+        .writeStream.format("memory")
+        .queryName("shll")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per key is the final state's estimate
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by event_type order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from shll)) where rn=1"
+    ).collect()
+    got = {r.event_type: r.n_distinct_est for r in rows}
+    expect = {
+        r.event_type: r.n_distinct_est
+        for r in hll_agg(
+            ev.withColumnRenamed("event_type", "event_type"), ["event_type"], "uid", p=12
+        ).collect()
+    }
+    assert got == expect and got
