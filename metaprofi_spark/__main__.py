@@ -91,6 +91,9 @@ def main(argv: list[str] | None = None) -> int:
                         "are six-frame translated")
     s.add_argument("--sample-ids", default=None,
                    help="comma-separated sample ids to scope the search")
+    s.add_argument("--sample-names", default=None,
+                   help="comma-separated sample IDENTIFIERS (grouped "
+                        "stores) — resolved via the samples/ dim")
 
     m = sub.add_parser("summary")
     common(m)
@@ -186,9 +189,11 @@ def main(argv: list[str] | None = None) -> int:
                 [int(x) for x in args.sample_ids.split(",")]
                 if args.sample_ids else None
             )
+            names = args.sample_names.split(",") if args.sample_names else None
             res = api.query(spark, args.store, queries, args.threshold,
                             write_to_file=args.output,
-                            seq_type=args.seq_type, sample_ids=sample_ids)
+                            seq_type=args.seq_type, sample_ids=sample_ids,
+                            sample_names=names)
             for r in res.collect():
                 print(f"{r.query_id}\t{r.sample_idx}\t{r.kgram_hits}/{r.n_kgrams}")
         elif args.cmd == "summary":

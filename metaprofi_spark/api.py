@@ -160,14 +160,31 @@ def query(
     write_to_file: str | None = None,
     seq_type: str | None = None,
     sample_ids: list[int] | None = None,
+    sample_names: list[str] | None = None,
 ) -> DataFrame:
     """`metaprofi search_index` analog; accepts a query list (single
     sequences, §3.2) or a DataFrame (file of queries, §3.3).  Optionally
     writes the reference-format text report (S9).  ``seq_type`` /
     ``sample_ids`` forward to :func:`search` (six-frame translation,
-    sample-scoped lookup)."""
+    sample-scoped lookup).
+
+    ``sample_names`` scopes by sample IDENTIFIERS — the reference's
+    user-facing scoping (search_index.py:549-553 takes names, not
+    matrix positions): resolved to sample_idx via the grouped store's
+    ``samples/`` dim (J2), then pruned exactly like ``sample_ids``.
+    Unknown names raise (matching the reference's keyerror behavior)."""
     index_df, stored_cfg, manifest = load_index(spark, path, cfg)
     bucket = manifest["sample_bucket_size"]
+    if sample_names is not None:
+        if sample_ids is not None:
+            raise ValueError("pass sample_ids or sample_names, not both")
+        dim = samples_dim(spark, path)
+        rows = dim.filter(dim.group_key.isin(list(sample_names))).collect()
+        found = {r.group_key for r in rows}
+        missing = set(sample_names) - found
+        if missing:
+            raise KeyError(f"unknown sample names: {sorted(missing)}")
+        sample_ids = [int(r.sample_idx) for r in rows]
     if isinstance(queries, DataFrame):
         res = search_df(spark, index_df, queries, stored_cfg, threshold, bucket,
                         sample_ids=sample_ids)

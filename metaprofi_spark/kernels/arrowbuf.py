@@ -50,6 +50,9 @@ def series_utf8_buffer(series: pd.Series):
     if arr.null_count:
         arr = arr.drop_null()
     t = arr.type
+    if pa.types.is_null(t) or len(arr) == 0:
+        # empty / all-null batch: an empty buffer, not a fallback
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
     if pa.types.is_integer(t):
         arr = pc.cast(arr, pa.string())
     elif not (

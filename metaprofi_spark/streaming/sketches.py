@@ -18,6 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+import numpy as np
+
+from metaprofi_spark.kernels import cms as C
 from metaprofi_spark.kernels import hll as H
 from metaprofi_spark.kernels.arrowbuf import series_utf8_buffer
 
@@ -58,6 +61,66 @@ def streaming_hll_distinct(
         state.update((H.hll_serialize(regs),))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_distinct_est": [H.hll_estimate(regs)]}
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def streaming_cms_topk(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    watch: list[str],
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Running count-min frequency estimates per key for a WATCHED value
+    list: (key, value, est, n_total), refreshed per micro-batch.
+
+    State per key = one depth*width counter table (constant-size).  The
+    watch list makes the emission bounded — the CMS answers point
+    queries, so a streaming heavy-hitter surface needs a candidate set;
+    the watched values are estimated against the full folded state
+    every batch (overestimate-only, <= true + eps*N, the published CMS
+    bound).  The streaming fold equals the batch cms_agg over
+    everything seen (same kernel, pinned by test)."""
+    out_schema = f"{key_col} string, value string, est long, n_total long"
+    state_schema = "table binary, n long"
+    wvals = [w.encode("utf-8") for w in watch]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, n = state.get
+            table = C.cms_deserialize(bytes(blob))
+            n = int(n)
+        else:
+            table = C.cms_init(depth, width)
+            n = 0
+        for pdf in pdfs:
+            counts = pdf[value_col].value_counts()
+            if len(counts):
+                keys = pd.Series(counts.index)
+                buf = series_utf8_buffer(keys)
+                vals = buf if buf is not None else [
+                    str(v).encode("utf-8") for v in counts.index
+                ]
+                C.cms_add(table, vals, counts.to_numpy().astype(np.int64))
+                n += int(counts.sum())
+        state.update((C.cms_serialize(table), n))
+        ests = C.cms_query(table, wvals)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(watch),
+                "value": watch,
+                "est": pd.array(ests, dtype="int64"),
+                "n_total": pd.array([n] * len(watch), dtype="int64"),
+            }
         )
 
     return (

@@ -33,6 +33,37 @@ def test_mmh2_bytes_batch_equals_scalar(vals):
         assert int(out[i, 1]) == mmh2_64_scalar(v, 3)
 
 
+@given(st.lists(st.binary(min_size=0, max_size=24), min_size=0, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_mmh2_buffer_equals_bytes(vals):
+    """Arrow-layout buffer kernel (the mapInArrow hot path) == the
+    list[bytes] kernel == the scalar oracle, including empty strings,
+    empty batches, and arbitrary length mixes."""
+    from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer
+
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum([len(v) for v in vals]))).astype(np.int64)
+    got = mmh2_64_buffer(data, offsets, [0, 3])
+    want = mmh2_64_bytes(vals, [0, 3])
+    assert got.shape == want.shape and (got == want).all()
+
+
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=25))
+@settings(max_examples=100, deadline=None)
+def test_series_utf8_buffer_matches_encode(vals):
+    """pyarrow-extracted UTF-8 buffers == python .encode("utf-8") per
+    element (the sketch-fold fast path must hash identical bytes)."""
+    import pandas as pd
+
+    from metaprofi_spark.kernels.arrowbuf import series_utf8_buffer
+
+    buf = series_utf8_buffer(pd.Series(vals, dtype=object))
+    assert buf is not None
+    data, offsets = buf
+    got = [bytes(data[offsets[i]:offsets[i + 1]]) for i in range(len(offsets) - 1)]
+    assert got == [v.encode("utf-8") for v in vals]
+
+
 @given(
     st.lists(st.text(max_size=30), min_size=1, max_size=10),
     st.integers(1, 9),

@@ -139,3 +139,49 @@ def test_streaming_hll_equals_batch_fold(spark, events, tmp_path):
         ).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_cms_equals_batch_fold(spark, events, tmp_path):
+    """Streaming CMS state fold across micro-batches == batch cms_agg
+    over the full input (same kernel, same watched-value estimates)."""
+    import numpy as np
+
+    from metaprofi_spark.kernels import cms as C
+    from metaprofi_spark.streaming.sketches import streaming_cms_topk
+
+    src = str(tmp_path / "ev_cms")
+    ev = events.select("event_type", F.col("user_id").cast("string").alias("uid"))
+    ev.filter(F.col("uid").cast("long") % 2 == 0).write.parquet(src + "/a")
+    ev.filter(F.col("uid").cast("long") % 2 == 1).write.parquet(src + "/b")
+    watch = ["1", "2", "17", "absent-user"]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_cms_topk(stream, "event_type", "uid", watch, 4, 1024)
+        .writeStream.format("memory")
+        .queryName("scms")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by event_type, value order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from scms)) where rn=1"
+    ).collect()
+    got = {(r.event_type, r.value): (r.est, r.n_total) for r in rows}
+    # batch twin: fold everything per event_type with the same kernel
+    expect = {}
+    for et_row in ev.select("event_type").distinct().collect():
+        et = et_row.event_type
+        vals = [r.uid for r in ev.filter(F.col("event_type") == et).collect()]
+        table = C.cms_init(4, 1024)
+        C.cms_add(table, [v.encode() for v in vals])
+        ests = C.cms_query(table, [w.encode() for w in watch])
+        for w, e in zip(watch, ests):
+            expect[(et, w)] = (int(e), len(vals))
+    assert got == expect and got

@@ -641,3 +641,28 @@ def test_parse_results_with_stats():
     res, stats = parse_results(text, with_stats=True)
     assert res == {"a": [{"sample": 3}, {"sample": 5}], "b": [{"sample": 5}]}
     assert stats == {"n_queries": 2, "n_samples": 3, "n_unique_samples": 2}
+
+
+def test_query_scoped_by_sample_names(spark, docs, tmp_path):
+    """Name-based scoping (the reference's user-facing restriction,
+    search_index.py:549-553) == id-based scoping through the grouped
+    store's samples dim; unknown names raise."""
+    from metaprofi_spark import api
+
+    path = str(tmp_path / "grouped")
+    d = docs.limit(200).select("doc_id", "lang", "text")
+    api.build_grouped(spark, d, CFG, path, group_col="lang",
+                      sample_bucket_size=64)
+    dim = {r.group_key: r.sample_idx for r in api.samples_dim(spark, path).collect()}
+    langs = sorted(dim)[:2]
+    probe = [r.text[:40] for r in d.limit(1).collect()]
+    by_name = api.query(spark, path, [("q", probe[0])], 60,
+                        sample_names=langs)
+    by_id = api.query(spark, path, [("q", probe[0])], 60,
+                      sample_ids=[dim[x] for x in langs])
+    a = {(r.query_id, r.sample_idx) for r in by_name.collect()}
+    b = {(r.query_id, r.sample_idx) for r in by_id.collect()}
+    assert a == b
+    with pytest.raises(KeyError, match="unknown sample names"):
+        api.query(spark, path, [("q", probe[0])], 60,
+                  sample_names=["nope"])
