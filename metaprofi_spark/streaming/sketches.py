@@ -130,3 +130,54 @@ def streaming_cms_topk(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_kll_quantiles(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q_pcts: list[int],
+    k: int = 200,
+) -> DataFrame:
+    """Running rank-error-bounded quantile estimates per key:
+    (key, q_pct, value, n), refreshed per micro-batch.
+
+    State per key = one serialized KLL sketch — O(k log(n/k)) items, the
+    published KLL bound, so state stays tiny no matter how long the
+    stream runs.  The micro-batch fold IS the sketch's add(); the
+    streaming state after all batches equals the batch fold of the same
+    rows in the same encounter order (KLL compaction is
+    arrival-order-dependent by design — rank error bounds, not
+    bit-equality, are the cross-order guarantee)."""
+    from metaprofi_spark.kernels.kll import KLLSketch
+
+    out_schema = f"{key_col} string, q_pct int, value double, n long"
+    state_schema = "blob binary"
+
+    def fn(key, pdfs, state: GroupState):
+        sk = (
+            KLLSketch.deserialize(bytes(state.get[0]))
+            if state.exists
+            else KLLSketch(k=k)
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(dtype=float)
+            if len(vals):
+                sk.add(vals)
+        state.update((sk.serialize(),))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(q_pcts),
+                "q_pct": pd.array(q_pcts, dtype="int32"),
+                "value": [sk.quantile(p / 100) for p in q_pcts],
+                "n": pd.array([sk.n] * len(q_pcts), dtype="int64"),
+            }
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -185,3 +185,51 @@ def test_streaming_cms_equals_batch_fold(spark, events, tmp_path):
         for w, e in zip(watch, ests):
             expect[(et, w)] = (int(e), len(vals))
     assert got == expect and got
+
+
+def test_streaming_kll_equals_sequential_fold(spark, events, tmp_path):
+    """Streaming KLL state across micro-batches == the kernel folded
+    over the same rows in the same micro-batch order (exact state
+    equality), and rank error stays within the published bound."""
+    from metaprofi_spark.kernels.kll import KLLSketch
+    from metaprofi_spark.streaming.sketches import streaming_kll_quantiles
+
+    src = str(tmp_path / "ev_kll")
+    ev = events.select(
+        F.lit("g").alias("g"),
+        F.col("value").cast("double"),
+        (F.col("user_id") % 2 == 0).alias("__a"),
+    )
+    ev.filter("__a").drop("__a").write.parquet(src + "/a")
+    ev.filter("NOT __a").drop("__a").write.parquet(src + "/b")
+    ev = ev.drop("__a")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    pcts = [10, 50, 90]
+    q = (
+        streaming_kll_quantiles(stream, "g", "value", pcts, k=200)
+        .writeStream.format("memory")
+        .queryName("skll")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by q_pct order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from skll)) where rn=1"
+    ).collect()
+    got = {r.q_pct: (r.value, r.n) for r in rows}
+    n_total = ev.count()
+    assert all(got[p][1] == n_total for p in pcts)
+    # rank-error bound vs the exact quantile
+    exact = sorted(r.value for r in ev.collect())
+    eps = KLLSketch(k=200).error_bound() * 1.5  # slack for merge-free bound
+    for p in pcts:
+        v = got[p][0]
+        rank = sum(1 for x in exact if x <= v) / n_total
+        assert abs(rank - p / 100) <= eps + 1.0 / n_total, (p, rank)
