@@ -313,18 +313,35 @@ def minhash_verified_pairs(
     codegen'd array_intersect (no token re-shuffle, no pair explosion
     beyond the candidate list)."""
     cand = minhash_lsh_candidates(df, n_perm, bands, id_col, text_col)
+    # verify once per UNIQUE TOKEN-SET PAIR, not per doc pair: web
+    # corpora carry huge identical clusters, and shipping each doc's
+    # token array once per candidate pair would re-amplify exactly the
+    # quadratic the signature collapse removed.  tfp = md5 of the
+    # sorted distinct-token list ("\n"-joined — tokens cannot contain
+    # whitespace) identifies a token SET; Jaccard depends only on the
+    # two sets, so one exact intersect per distinct (tfp_a, tfp_b)
+    # combo covers every member pair.
     toks = _token_arrays(df, id_col, text_col, distinct=True).select(
-        F.col(id_col).alias("__tid"), F.col("toks")
+        F.col(id_col).alias("__tid"),
+        F.col("toks"),
+        F.md5(F.to_binary(F.concat_ws("\n", F.array_sort("toks")), F.lit("utf-8"))).alias("tfp"),
     )
-    a = toks.select(F.col("__tid").alias("id_a"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("__tid").alias("id_b"), F.col("toks").alias("tb"))
+    docmap_a = toks.select(F.col("__tid").alias("id_a"), F.col("tfp").alias("tfp_a"))
+    docmap_b = toks.select(F.col("__tid").alias("id_b"), F.col("tfp").alias("tfp_b"))
+    cand_fp = cand.join(docmap_a, "id_a").join(docmap_b, "id_b")
+    uniq = cand_fp.select("tfp_a", "tfp_b").distinct()
+    # one representative token array per set (arrays may differ in
+    # ORDER across docs of the same set; intersect/size are order-free)
+    rep = toks.groupBy("tfp").agg(F.first("toks").alias("toks"))
+    ra = rep.select(F.col("tfp").alias("tfp_a"), F.col("toks").alias("ta"))
+    rb = rep.select(F.col("tfp").alias("tfp_b"), F.col("toks").alias("tb"))
     shared = F.size(F.array_intersect("ta", "tb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+    verdicts = (
+        uniq.join(ra, "tfp_a")
+        .join(rb, "tfp_b")
         .select(
-            "id_a",
-            "id_b",
+            "tfp_a",
+            "tfp_b",
             shared.alias("shared"),
             F.size("ta").alias("size_a"),
             F.size("tb").alias("size_b"),
@@ -333,6 +350,9 @@ def minhash_verified_pairs(
             F.col("shared") * 100
             >= F.lit(tau_pct) * (F.col("size_a") + F.col("size_b") - F.col("shared"))
         )
+    )
+    return cand_fp.join(verdicts, ["tfp_a", "tfp_b"]).select(
+        "id_a", "id_b", "shared", "size_a", "size_b"
     )
 
 

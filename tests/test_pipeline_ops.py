@@ -461,6 +461,16 @@ def test_minhash_verified_pairs_equal_exact_jaccard(spark, docs):
     got = {tuple(r) for r in minhash_verified_pairs(d, 80).collect()}
     want = {tuple(r) for r in ngram_jaccard_pairs(d, 80).collect()}
     assert got == want and got
+    # planted identical clusters exercise the token-set-pair dedup in
+    # the verify stage (one exact intersect per distinct set pair)
+    base = docs.limit(20).select("doc_id", "text")
+    extra = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    dd = base.unionByName(extra)
+    got2 = {tuple(r) for r in minhash_verified_pairs(dd, 80).collect()}
+    want2 = {tuple(r) for r in ngram_jaccard_pairs(dd, 80).collect()}
+    assert got2 == want2 and got2
 
 
 def test_simhash_verified_pairs_equal_fingerprint_pairs(spark, docs):
