@@ -181,3 +181,49 @@ def streaming_kll_quantiles(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_tdigest_centiles(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q_pcts: list[int],
+    compression: float = 100.0,
+) -> DataFrame:
+    """Running t-digest quantile estimates per key:
+    (key, q_pct, value, n) — the fourth mergeable sketch lifted to a
+    stateful streaming operator.  State per key = one serialized digest
+    (<= ~2*compression centroids after compaction, constant-size);
+    total weight n is EXACT (every value folds with weight 1)."""
+    from metaprofi_spark.kernels.tdigest import TDigest
+
+    out_schema = f"{key_col} string, q_pct int, value double, n long"
+    state_schema = "blob binary"
+
+    def fn(key, pdfs, state: GroupState):
+        td = (
+            TDigest.deserialize(bytes(state.get[0]))
+            if state.exists
+            else TDigest(compression)
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(dtype=float)
+            if len(vals):
+                td.add(vals)
+        state.update((td.serialize(),))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(q_pcts),
+                "q_pct": pd.array(q_pcts, dtype="int32"),
+                "value": [td.quantile(p / 100) for p in q_pcts],
+                "n": pd.array([int(td.n)] * len(q_pcts), dtype="int64"),
+            }
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -233,3 +233,45 @@ def test_streaming_kll_equals_sequential_fold(spark, events, tmp_path):
         v = got[p][0]
         rank = sum(1 for x in exact if x <= v) / n_total
         assert abs(rank - p / 100) <= eps + 1.0 / n_total, (p, rank)
+
+
+def test_streaming_tdigest_exact_n_and_sane_quantiles(spark, events, tmp_path):
+    """Streaming t-digest: exact total weight across micro-batches and
+    quantile estimates within the value range ordered by percentile."""
+    from metaprofi_spark.streaming.sketches import streaming_tdigest_centiles
+
+    src = str(tmp_path / "ev_td")
+    ev = events.select(
+        F.lit("g").alias("g"),
+        F.col("value").cast("double"),
+        (F.col("user_id") % 2 == 0).alias("__a"),
+    )
+    ev.filter("__a").drop("__a").write.parquet(src + "/a")
+    ev.filter("NOT __a").drop("__a").write.parquet(src + "/b")
+    ev = ev.drop("__a")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    pcts = [5, 50, 95]
+    q = (
+        streaming_tdigest_centiles(stream, "g", "value", pcts)
+        .writeStream.format("memory")
+        .queryName("std")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by q_pct order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from std)) where rn=1"
+    ).collect()
+    got = {r.q_pct: (r.value, r.n) for r in rows}
+    n_total = ev.count()
+    assert all(got[p][1] == n_total for p in pcts)
+    lo = ev.agg(F.min("value")).first()[0]
+    hi = ev.agg(F.max("value")).first()[0]
+    assert lo <= got[5][0] <= got[50][0] <= got[95][0] <= hi
