@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from metaprofi_spark.kernels import hll as H
-from metaprofi_spark.kernels.arrowbuf import series_utf8_buffer
+from metaprofi_spark.kernels.arrowbuf import utf8_values
 from metaprofi_spark.kernels import cms as C
 from metaprofi_spark.kernels.kll import KLLSketch
 
@@ -110,13 +110,8 @@ def hll_agg(
             return H.hll_serialize(self.regs)
 
     def fold(acc, series):
-        buf = series_utf8_buffer(series)
-        if buf is not None:  # Arrow C path: no per-element Python
-            H.hll_add(acc.regs, buf)
-        else:
-            H.hll_add(
-                acc.regs, [str(v).encode("utf-8") for v in series if v is not None]
-            )
+        # Arrow C path with interpreter fallback (kernels/arrowbuf.py)
+        H.hll_add(acc.regs, utf8_values(series))
 
     return _partial_final(
         df, group_cols, value_col, _Acc, fold, merge_blobs,
@@ -154,11 +149,7 @@ def cms_agg(
 
     def fold(acc, series: pd.Series):
         counts = series.value_counts()
-        keys = pd.Series(counts.index)
-        buf = series_utf8_buffer(keys)
-        vals = buf if buf is not None else [
-            str(v).encode("utf-8") for v in counts.index
-        ]
+        vals = utf8_values(pd.Series(counts.index))
         C.cms_add(acc.table, vals, counts.to_numpy().astype(np.int64))
         acc.n += int(counts.sum())
 
@@ -201,10 +192,10 @@ def cms_estimate_df(
     def fn(batches):
         table = C.cms_deserialize(bblob.value[8:])
         for pdf in batches:
-            buf = series_utf8_buffer(pdf[value_col])
-            vals = buf if buf is not None else [
-                str(v).encode("utf-8") for v in pdf[value_col]
-            ]
+            # drop_null=False: estimates must stay row-aligned with the
+            # input batch (a null key estimates as the string "None",
+            # matching the pre-Arrow str(v) behavior)
+            vals = utf8_values(pdf[value_col], drop_null=False)
             ests = C.cms_query(table, vals)
             yield pd.DataFrame(
                 {value_col: pdf[value_col], out_col: pd.array(ests, dtype="int64")}

@@ -40,29 +40,46 @@ def string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-def series_utf8_buffer(series: pd.Series):
+def series_utf8_buffer(series: pd.Series, drop_null: bool = True):
     """(data, offsets) for a pandas Series of strings or integers —
     UTF-8 conversion happens inside Arrow (C), matching
     ``str(v).encode("utf-8")`` for those dtypes.  Returns None for
     dtypes whose str() rendering Arrow does not reproduce exactly
-    (floats etc.) — callers fall back to the interpreter loop there."""
+    (floats, binary — ``str(b'x')`` is ``"b'x'"``) — callers fall back
+    to the interpreter loop there.
+
+    ``drop_null=False`` keeps row alignment by rendering nulls as the
+    string ``"None"`` (what ``str(v).encode()`` produced) instead of
+    dropping them — required by point-query paths that zip results back
+    against the input rows."""
     arr = pa.Array.from_pandas(series)
-    if arr.null_count:
-        arr = arr.drop_null()
     t = arr.type
-    if pa.types.is_null(t) or len(arr) == 0:
-        # empty / all-null batch: an empty buffer, not a fallback
-        return np.empty(0, np.uint8), np.zeros(1, np.int64)
-    if pa.types.is_integer(t):
+    if pa.types.is_null(t):
+        if drop_null or len(arr) == 0:
+            return np.empty(0, np.uint8), np.zeros(1, np.int64)
+        arr = pa.array(["None"] * len(arr), pa.string())
+    elif pa.types.is_integer(t):
         arr = pc.cast(arr, pa.string())
-    elif not (
-        pa.types.is_string(t)
-        or pa.types.is_large_string(t)
-        or pa.types.is_binary(t)
-        or pa.types.is_large_binary(t)
-    ):
+    elif not (pa.types.is_string(t) or pa.types.is_large_string(t)):
         return None
+    if arr.null_count:
+        arr = arr.drop_null() if drop_null else pc.fill_null(arr, "None")
+    if len(arr) == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
     return string_buffer(arr)
+
+
+def utf8_values(series: pd.Series, drop_null: bool = True):
+    """The shared 'Arrow fast path or interpreter fallback' used by
+    every sketch fold: returns either an Arrow-layout (data, offsets)
+    tuple or a list[bytes], both accepted by the hash kernels.  One
+    definition so null handling cannot drift between call sites."""
+    buf = series_utf8_buffer(series, drop_null=drop_null)
+    if buf is not None:
+        return buf
+    if drop_null:
+        return [str(v).encode("utf-8") for v in series if v is not None]
+    return [str(v).encode("utf-8") for v in series]
 
 
 def list_string_runs(col: pa.Array):

@@ -237,33 +237,23 @@ def search_df(
     sb_size = slice_bucket_size(cfg)
     # the hash rows are read twice (bucket-prune list + index join).
     # NOT .persist(): the CacheManager pins cached plans for the session
-    # lifetime, so repeated searches would accumulate blocks (r2 advice).
-    if broadcast_queries:
-        # broadcast path: the rows are about to be collected for the
-        # broadcast anyway, so collect them ONCE to the driver, derive
-        # the bucket list locally, and re-parallelize — one hashing
-        # pass, no cached state
-        hpdf = hash_queries_df(queries_df, cfg).toPandas()
-        if len(hpdf) == 0:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        buckets = sorted({int(s) // sb_size for s in hpdf["slice_id"]})
-        hashes = spark.createDataFrame(hpdf, HASH_SCHEMA + ", n_kgrams long")
-    else:
-        # million-read path: rows stay distributed.  Eager localCheckpoint
-        # materializes the hashing once; its blocks are reference-counted
-        # by the ContextCleaner and freed when this DataFrame is GC'd —
-        # unlike persist(), nothing outlives the search
-        hashes = hash_queries_df(queries_df, cfg).localCheckpoint(eager=True)
-        buckets = sorted(
-            r["b"]
-            for r in hashes.select(
-                (F.col("slice_id") / F.lit(sb_size)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
+    # lifetime, so repeated searches would accumulate blocks (r2
+    # advice).  Eager localCheckpoint materializes the hashing once,
+    # EXECUTOR-side for both join strategies (per-row data never
+    # crosses the driver — only the bounded bucket list below does);
+    # its blocks are reference-counted by the ContextCleaner and freed
+    # when this DataFrame is GC'd, so nothing outlives the search.
+    hashes = hash_queries_df(queries_df, cfg).localCheckpoint(eager=True)
+    buckets = sorted(
+        r["b"]
+        for r in hashes.select(
+            (F.col("slice_id") / F.lit(sb_size)).cast("int").alias("b")
         )
-        if not buckets:
-            return spark.createDataFrame([], RESULT_SCHEMA)
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return _search_from_hashes(
         spark, index_df, hashes, cfg, threshold, bucket,
         slice_buckets=buckets, broadcast_queries=broadcast_queries,

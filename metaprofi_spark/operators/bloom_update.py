@@ -55,18 +55,43 @@ def store_lock(
     (build_index_zarr.py:286-301).
 
     Implementation: O_CREAT|O_EXCL lock file next to manifest.json
-    carrying {pid, ts}.  A lock whose owner pid is dead, or older than
-    ``stale_sec``, is broken (crashed writers don't wedge the store —
-    their half-written ``seg=`` dirs are idempotently overwritten or
-    vacuumed later).  Works on any POSIX-rename filesystem; on object
-    stores swap for a DynamoDB/ZooKeeper mutex — the call sites don't
-    change.
+    carrying {pid, ts}.  Takeover rules:
+
+    * a LIVE owner is never broken, however long it holds the lock —
+      a big update legitimately holds it across whole Spark jobs (the
+      r3 review caught an age-based break that destroyed mutual
+      exclusion mid-write);
+    * a lock whose owner pid is DEAD is broken;
+    * a lock that stays unreadable/empty past a short grace window is
+      broken too (a writer that crashed between open and write);
+    * breaking is ATOMIC: the breaker os.rename()s the stale lock to a
+      unique name first — exactly one concurrent waiter wins the
+      rename (the rest get FileNotFoundError and re-loop), so two
+      waiters can never both "inherit" and delete each other's fresh
+      locks (the r3 review's TOCTOU).
+
+    ``stale_sec`` only bounds how long an UNASSESSABLE owner (pid from
+    another host) may hold the lock.  Works on any POSIX-rename
+    filesystem; on object stores swap for a DynamoDB/ZooKeeper lease —
+    the call sites don't change.
     """
     import json
     import time
 
     lock_path = os.path.join(path, "manifest.lock")
     deadline = time.time() + timeout
+    unreadable_grace = 10.0
+
+    def try_break(reason: str) -> None:
+        # atomic: exactly one breaker wins the rename
+        claim = f"{lock_path}.broken.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(lock_path, claim)
+        except FileNotFoundError:
+            return  # someone else broke or released it
+        with _contextlib.suppress(FileNotFoundError):
+            os.unlink(claim)
+
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -76,21 +101,37 @@ def store_lock(
             os.close(fd)
             break
         except FileExistsError:
+            meta = None
             try:
                 with open(lock_path) as f:
                     meta = json.load(f)
+            except FileNotFoundError:
+                continue  # released between open attempts: retry now
+            except (OSError, ValueError):
+                # unreadable/empty: owner crashed mid-write, or is about
+                # to write.  Give it a short grace from the file mtime.
+                try:
+                    age = time.time() - os.stat(lock_path).st_mtime
+                except FileNotFoundError:
+                    continue
+                if age > unreadable_grace:
+                    try_break("unreadable")
+                    continue
+            if meta is not None:
                 owner_dead = False
+                pid_unknown = False
                 try:
                     os.kill(int(meta.get("pid", -1)), 0)
                 except (ProcessLookupError, ValueError):
                     owner_dead = True
                 except PermissionError:
-                    pass
-                if owner_dead or time.time() - float(meta.get("ts", 0)) > stale_sec:
-                    os.unlink(lock_path)
+                    pid_unknown = True  # exists but not ours to signal
+                if owner_dead or (
+                    pid_unknown
+                    and time.time() - float(meta.get("ts", 0)) > stale_sec
+                ):
+                    try_break("dead owner")
                     continue
-            except (OSError, ValueError):
-                continue  # lock vanished or is mid-write; retry
             if time.time() > deadline:
                 raise TimeoutError(
                     f"store writer lock busy after {timeout}s: {lock_path}"

@@ -51,7 +51,10 @@ _INDEX_MEMO: dict = {}
 
 def _memo_index(spark: SparkSession, sf_dir: str, cfg: SketchConfig,
                 bucket: int, tag: str, docs_fn) -> DataFrame:
-    key = (id(spark), sf_dir, cfg.to_json(), bucket, tag)
+    # applicationId, not id(spark): a stopped session's address can be
+    # reused by CPython, which would hand back a cached DataFrame bound
+    # to a dead SparkContext (r3 review)
+    key = (spark.sparkContext.applicationId, sf_dir, cfg.to_json(), bucket, tag)
     idx = _INDEX_MEMO.get(key)
     if idx is None:
         docs = docs_fn()

@@ -22,7 +22,7 @@ import numpy as np
 
 from metaprofi_spark.kernels import cms as C
 from metaprofi_spark.kernels import hll as H
-from metaprofi_spark.kernels.arrowbuf import series_utf8_buffer
+from metaprofi_spark.kernels.arrowbuf import utf8_values
 
 
 def streaming_hll_distinct(
@@ -50,14 +50,7 @@ def streaming_hll_distinct(
             else H.hll_init(p)
         )
         for pdf in pdfs:
-            buf = series_utf8_buffer(pdf[value_col])
-            if buf is not None:
-                H.hll_add(regs, buf)
-            else:
-                H.hll_add(
-                    regs,
-                    [str(v).encode("utf-8") for v in pdf[value_col] if v is not None],
-                )
+            H.hll_add(regs, utf8_values(pdf[value_col]))
         state.update((H.hll_serialize(regs),))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_distinct_est": [H.hll_estimate(regs)]}
@@ -105,12 +98,8 @@ def streaming_cms_topk(
         for pdf in pdfs:
             counts = pdf[value_col].value_counts()
             if len(counts):
-                keys = pd.Series(counts.index)
-                buf = series_utf8_buffer(keys)
-                vals = buf if buf is not None else [
-                    str(v).encode("utf-8") for v in counts.index
-                ]
-                C.cms_add(table, vals, counts.to_numpy().astype(np.int64))
+                C.cms_add(table, utf8_values(pd.Series(counts.index)),
+                          counts.to_numpy().astype(np.int64))
                 n += int(counts.sum())
         state.update((C.cms_serialize(table), n))
         ests = C.cms_query(table, wvals)

@@ -666,3 +666,52 @@ def test_query_scoped_by_sample_names(spark, docs, tmp_path):
     with pytest.raises(KeyError, match="unknown sample names"):
         api.query(spark, path, [("q", probe[0])], 60,
                   sample_names=["nope"])
+
+
+def test_store_lock_review_hardening(tmp_path):
+    """r3 review regressions: (1) an unreadable/empty lock file honors
+    the timeout instead of busy-spinning; (2) an OLD empty lock (its
+    writer died between open and write) is broken; (3) a LIVE owner is
+    never broken no matter how old its ts is."""
+    import json
+    import os
+    import time
+
+    from metaprofi_spark.operators import store_lock
+
+    p = str(tmp_path)
+    lock = tmp_path / "manifest.lock"
+
+    # (1) fresh empty lock: timeout fires, promptly and without a spin
+    lock.write_text("")
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        with store_lock(p, timeout=0.6, poll=0.05):
+            pass
+    assert 0.3 < time.time() - t0 < 5.0
+    # (2) the same empty lock, aged past the unreadable grace: broken
+    os.utime(lock, (time.time() - 60, time.time() - 60))
+    with store_lock(p, timeout=2.0, poll=0.05):
+        pass
+    assert not lock.exists()
+    # (3) live owner with ancient ts: never broken
+    lock.write_text(json.dumps({"pid": os.getpid(), "ts": 0}))
+    with pytest.raises(TimeoutError):
+        with store_lock(p, timeout=0.6, poll=0.05):
+            pass
+    assert lock.exists() and json.loads(lock.read_text())["pid"] == os.getpid()
+    lock.unlink()
+
+
+def test_cms_estimate_df_null_row_alignment(spark):
+    """r3 review regression: a null key row must not crash the batch —
+    it estimates as the string "None" and stays row-aligned."""
+    from metaprofi_spark.functions.sketch_agg import cms_agg, cms_estimate_df
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "token string"
+    )
+    blob = cms_agg(df.withColumn("g", F.lit(1)), ["g"], "token", 4, 256).first()["sketch"]
+    out = {r.token: r.est for r in cms_estimate_df(df, "token", blob).collect()}
+    assert out["a"] >= 2 and out["b"] >= 1
+    assert None in out  # the null row came back, aligned
