@@ -307,6 +307,28 @@ def embedding_near_dup_components(
     )
 
 
+def drop_embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep one representative (the min id) per embedding near-dup
+    component — the embedding twin of dedup.drop_near_duplicates.
+    Rows absent from the bucket graph (none possible here: every vector
+    gets buckets) keep themselves; composition semantics pinned by
+    test."""
+    labels = embedding_near_dup_components(
+        df, dim, n_bits, n_tables, id_col=id_col, vec_col=vec_col
+    )
+    reps = labels.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # IVF — coarse-quantizer ANN (the inverted-file scale path)
 # ---------------------------------------------------------------------------

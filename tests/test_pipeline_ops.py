@@ -548,3 +548,20 @@ def test_embedding_near_dup_components_equal_closure(spark, embeddings):
             parent[max(rx, ry)] = min(rx, ry)
     expect = {i: find(i) for i in comp}
     assert comp == expect and comp
+
+
+def test_drop_embedding_near_duplicates(spark, embeddings):
+    """One representative (min id) survives per embedding component."""
+    from metaprofi_spark.operators.similarity import (
+        drop_embedding_near_duplicates,
+        embedding_near_dup_components,
+    )
+
+    emb = embeddings.limit(200)
+    comp = {r.id: r.comp for r in
+            embedding_near_dup_components(emb, 64, 6, 4).collect()}
+    kept = {r.vec_id for r in
+            drop_embedding_near_duplicates(emb, 64, 6, 4).collect()}
+    expect = {min(ids) for c in set(comp.values())
+              for ids in [[i for i, cc in comp.items() if cc == c]]}
+    assert kept == expect and kept
