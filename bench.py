@@ -221,7 +221,7 @@ def main() -> None:
     # recorded so the headline number is auditable.
     lo_cores, hi_cores = 2, 8
     scaling = {}
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     walls_hi, walls_lo = [], []
     ins = None
     for _ in range(reps):
