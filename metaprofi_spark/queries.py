@@ -417,6 +417,80 @@ def bloom_update_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-build gate (A1 grouped + densify_samples + J2 dim): one
+    sample per LANGUAGE (the reference's file-level build,
+    metaprofi_main.py:148-181), searched and exact-verified.
+
+    A lang matches a probe iff ANY of its documents contains it, so
+    the result is SQL-checkable — and the sample_idx -> lang mapping
+    runs through densify_samples, putting the r3 determinism fix under
+    the driver's hash gate."""
+    from metaprofi_spark.operators import build_index, build_matrix_grouped, densify_samples
+
+    docs = _docs(spark, sf_dir)
+    bf = build_matrix_grouped(docs, QUERY_CFG, group_col="lang", text_col="text")
+    dim = densify_samples(bf.select("group_key").distinct(), "group_key").select(
+        "group_key", "sample_idx"
+    )
+    bfi = bf.join(dim, "group_key").select("sample_idx", "chunk_id", "bf")
+    idx = build_index(bfi, QUERY_CFG, sample_bucket_size=_BUCKET)
+    cand = search(
+        spark, idx, [(p, p) for p in PROBES], QUERY_CFG,
+        threshold=100, sample_bucket_size=_BUCKET,
+    )
+    return (
+        cand.withColumnRenamed("query_id", "probe")
+        .join(F.broadcast(dim), cand.sample_idx == dim.sample_idx)
+        .join(docs, F.col("group_key") == docs.lang)
+        .filter(F.instr(F.lower(F.col("text")), F.lower(F.col("probe"))) > 0)
+        .select("probe", F.col("group_key").alias("lang"))
+        .distinct()
+    )
+
+
+BLOOM_GROUPED_SQL = f"""
+SELECT DISTINCT q.probe AS probe, d.lang AS lang
+FROM (VALUES {_probes_sql_values()}) q(probe)
+JOIN documents d ON instr(lower(d.text), lower(q.probe)) > 0
+"""
+
+
+def fasta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 gate: the FASTA reader under the driver's hash check.  Writes
+    a deterministic FASTA of the synthetic DNA column (one record per
+    doc, 60-char wrapped lines — the reference's multi-line record
+    shape), reads it back with sources.fasta.read_fasta, and returns
+    (doc_id, seq) — the oracle recomputes the same DNA in SQL."""
+    import os
+
+    from metaprofi_spark.sources.fasta import read_fasta
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _dna_col().alias("dna"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    path = os.path.join("/tmp", f"metaprofi_gate_{abs(hash(sf_dir))}.fa")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f">{r.doc_id} synthetic\n")
+            for i in range(0, len(r.dna), 60):
+                f.write(r.dna[i : i + 60] + "\n")
+    return read_fasta(spark, path).select(
+        F.split(F.col("name"), " ").getItem(0).cast("long").alias("doc_id"),
+        F.col("seq"),
+    )
+
+
+FASTA_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       translate(md5(CAST(doc_id AS VARCHAR)), '{_HEX}', '{_DNA_MAP}') AS seq
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # sketch aggregations (A1 siblings) + their exact SQL-checkable twins
 # ---------------------------------------------------------------------------
@@ -1098,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "quality_scores": quality_scores,
         "bloom_lang_scoped_search": bloom_lang_scoped_search,
+        "bloom_grouped_search": bloom_grouped_search,
+        "fasta_source_roundtrip": fasta_source_roundtrip,
         "bloom_canonical_search": bloom_canonical_search,
         "bloom_sixframe_search": bloom_sixframe_search,
         "bloom_update_search": bloom_update_search,
@@ -1137,6 +1213,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_summary": CORPUS_SUMMARY_SQL,
         "text_stats": TEXT_STATS_SQL,
         "bloom_lang_scoped_search": _lang_probes_sql(),
+        "bloom_grouped_search": BLOOM_GROUPED_SQL,
+        "fasta_source_roundtrip": FASTA_ROUNDTRIP_SQL,
         "bloom_canonical_search": _canonical_sql(),
         "bloom_sixframe_search": _sixframe_sql(),
         "bloom_update_search": BLOOM_SUBSTRING_SQL,
