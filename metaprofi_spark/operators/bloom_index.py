@@ -322,7 +322,26 @@ def build_index_fused(
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest commit + snapshot history.
+
+    Every commit gets a monotonically increasing ``snapshot_id`` and is
+    archived under ``snapshots/v{id}.json`` BEFORE the atomic rename,
+    so ``load_index(snapshot=N)`` can time-travel to any committed
+    state whose segment dirs still exist (Iceberg snapshot semantics:
+    vacuum/compact expire old snapshots by reclaiming their segments —
+    readers get a clear error, never partial data)."""
     p = os.path.join(path, "manifest.json")
+    prev_id = -1
+    try:
+        with open(p) as f:
+            prev_id = int(json.load(f).get("snapshot_id", -1))
+    except FileNotFoundError:
+        pass
+    manifest = dict(manifest, snapshot_id=prev_id + 1)
+    snap_dir = os.path.join(path, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(os.path.join(snap_dir, f"v{manifest['snapshot_id']}.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -392,14 +411,31 @@ def store_summary(spark: SparkSession, path: str) -> dict:
 
 
 def load_index(
-    spark: SparkSession, path: str, cfg: SketchConfig | None = None
+    spark: SparkSession,
+    path: str,
+    cfg: SketchConfig | None = None,
+    snapshot: int | None = None,
 ) -> tuple[DataFrame, SketchConfig, dict]:
     """Load an index store; refuse on config mismatch (search_index.py:77-97).
 
     Only the manifest's COMMITTED segments are read — an orphan segment
     dir left by a crashed update is invisible until its commit lands.
-    """
-    with open(os.path.join(path, "manifest.json")) as f:
+
+    ``snapshot=N`` TIME-TRAVELS to the N-th committed manifest
+    (``snapshots/v{N}.json``) — the Iceberg-snapshot read path over the
+    append-only segment layout.  Valid until a vacuum/compact reclaims
+    the snapshot's segments, at which point the read fails with a clear
+    'expired' error instead of partial data."""
+    if snapshot is None:
+        mpath = os.path.join(path, "manifest.json")
+    else:
+        mpath = os.path.join(path, "snapshots", f"v{int(snapshot)}.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"snapshot {snapshot} does not exist in {path}/snapshots "
+                "(store predates snapshot history, or id out of range)"
+            )
+    with open(mpath) as f:
         manifest = json.load(f)
     stored = SketchConfig(**manifest["config"])
     if cfg is not None:
@@ -407,9 +443,15 @@ def load_index(
     idx_dir = os.path.join(path, "index")
     segments = manifest.get("segments")
     if segments:
-        df = spark.read.option("basePath", idx_dir).parquet(
-            *[os.path.join(idx_dir, f"seg={s}") for s in segments]
-        )
+        seg_paths = [os.path.join(idx_dir, f"seg={s}") for s in segments]
+        if snapshot is not None:
+            missing = [p for p in seg_paths if not os.path.isdir(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot} expired: segment dirs reclaimed by "
+                    f"vacuum/compact: {missing}"
+                )
+        df = spark.read.option("basePath", idx_dir).parquet(*seg_paths)
     else:  # format_version 1 stores (flat layout)
         df = spark.read.parquet(idx_dir)
     return df, stored, manifest

@@ -333,4 +333,18 @@ def vacuum_store(path: str) -> list[str]:
             if d.startswith("seg=") and d not in live:
                 shutil.rmtree(os.path.join(idx_dir, d))
                 removed.append(d[len("seg="):])
+        # expire snapshots whose segments are no longer all live (the
+        # Iceberg expire-snapshots step); the CURRENT snapshot always
+        # survives — its segments are the live set
+        snap_dir = os.path.join(path, "snapshots")
+        if removed and os.path.isdir(snap_dir):
+            gone = set(removed)
+            for name in os.listdir(snap_dir):
+                try:
+                    with open(os.path.join(snap_dir, name)) as f:
+                        snap = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                if gone & set(snap.get("segments", [])):
+                    os.unlink(os.path.join(snap_dir, name))
         return removed

@@ -715,3 +715,52 @@ def test_cms_estimate_df_null_row_alignment(spark):
     out = {r.token: r.est for r in cms_estimate_df(df, "token", blob).collect()}
     assert out["a"] >= 2 and out["b"] >= 1
     assert None in out  # the null row came back, aligned
+
+
+def test_snapshot_time_travel(spark, docs, tmp_path):
+    """Iceberg-style snapshot reads over the append-only segment
+    layout: every commit is archived; load_index(snapshot=N) reproduces
+    the pre-update answers; compact+vacuum expires reclaimed snapshots
+    with a clear error, and the current read is never affected."""
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import (
+        compact_store,
+        load_index,
+        update_store,
+        vacuum_store,
+    )
+
+    path = str(tmp_path / "ttstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    api.build(spark, first, CFG, path, sample_bucket_size=BUCKET)
+    probe = [r.text[:40] for r in first.limit(1).collect()]
+    before = {(r.query_id, r.sample_idx)
+              for r in api.query(spark, path, [("q", probe[0])], 100).collect()}
+    update_store(spark, path, rest, CFG, BUCKET)
+    after = {(r.query_id, r.sample_idx)
+             for r in api.query(spark, path, [("q", probe[0])], 100).collect()}
+    assert after >= before
+
+    # time travel to the pre-update snapshot reproduces `before`
+    idx0, _cfg0, m0 = load_index(spark, path, CFG, snapshot=0)
+    assert m0["segments"] == ["u0"] and m0["n_samples"] == BUCKET
+    got0 = {(r.query_id, r.sample_idx)
+            for r in search(spark, idx0, [("q", probe[0])], CFG, 100, BUCKET).collect()}
+    assert got0 == before
+    # the update's snapshot equals the current read
+    idx1, _cfg1, m1 = load_index(spark, path, CFG, snapshot=1)
+    assert m1["snapshot_id"] == 1 and len(m1["segments"]) == 2
+
+    # compact orphans the old segments; vacuum reclaims them and
+    # expires snapshots 0 and 1; the compacted current read still works
+    compact_store(spark, path)
+    removed = vacuum_store(path)
+    assert set(removed) == {"u0", "u1"}
+    with pytest.raises(FileNotFoundError, match="expired|does not exist"):
+        load_index(spark, path, CFG, snapshot=0)
+    final = {(r.query_id, r.sample_idx)
+             for r in api.query(spark, path, [("q", probe[0])], 100).collect()}
+    assert final == after
