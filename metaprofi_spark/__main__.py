@@ -94,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sample-names", default=None,
                    help="comma-separated sample IDENTIFIERS (grouped "
                         "stores) — resolved via the samples/ dim")
+    s.add_argument("--snapshot", type=int, default=None,
+                   help="time-travel: search the N-th committed snapshot")
 
     m = sub.add_parser("summary")
     common(m)
@@ -193,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             res = api.query(spark, args.store, queries, args.threshold,
                             write_to_file=args.output,
                             seq_type=args.seq_type, sample_ids=sample_ids,
-                            sample_names=names)
+                            sample_names=names, snapshot=args.snapshot)
             for r in res.collect():
                 print(f"{r.query_id}\t{r.sample_idx}\t{r.kgram_hits}/{r.n_kgrams}")
         elif args.cmd == "summary":

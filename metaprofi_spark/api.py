@@ -161,6 +161,7 @@ def query(
     seq_type: str | None = None,
     sample_ids: list[int] | None = None,
     sample_names: list[str] | None = None,
+    snapshot: int | None = None,
 ) -> DataFrame:
     """`metaprofi search_index` analog; accepts a query list (single
     sequences, §3.2) or a DataFrame (file of queries, §3.3).  Optionally
@@ -172,8 +173,11 @@ def query(
     user-facing scoping (search_index.py:549-553 takes names, not
     matrix positions): resolved to sample_idx via the grouped store's
     ``samples/`` dim (J2), then pruned exactly like ``sample_ids``.
-    Unknown names raise (matching the reference's keyerror behavior)."""
-    index_df, stored_cfg, manifest = load_index(spark, path, cfg)
+    Unknown names raise (matching the reference's keyerror behavior).
+
+    ``snapshot=N`` searches a historical committed snapshot (time
+    travel; valid until vacuum/compact reclaims its segments)."""
+    index_df, stored_cfg, manifest = load_index(spark, path, cfg, snapshot=snapshot)
     bucket = manifest["sample_bucket_size"]
     if sample_names is not None:
         if sample_ids is not None:

@@ -764,3 +764,28 @@ def test_snapshot_time_travel(spark, docs, tmp_path):
     final = {(r.query_id, r.sample_idx)
              for r in api.query(spark, path, [("q", probe[0])], 100).collect()}
     assert final == after
+
+
+def test_cli_search_snapshot(spark, docs, tmp_path, capsys):
+    """CLI --snapshot searches the historical store state."""
+    from metaprofi_spark import api
+    from metaprofi_spark.__main__ import main
+    from metaprofi_spark.operators import update_store
+
+    path = str(tmp_path / "clisnap")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    api.build(spark, first, CFG, path, sample_bucket_size=BUCKET)
+    update_store(spark, path, rest, CFG, BUCKET)
+    probe = [r.text[:40] for r in first.limit(1).collect()][0]
+    args = ["search", "--store", path, "-s", probe, "-t", "100",
+            "--k", "8", "--m", "65536", "--slice-buckets", "8", "--cores", "8"]
+    assert main(args + ["--snapshot", "0"]) == 0
+    out0 = {l.split("\t")[1] for l in capsys.readouterr().out.strip().splitlines() if "\t" in l}
+    assert main(args) == 0
+    out_now = {l.split("\t")[1] for l in capsys.readouterr().out.strip().splitlines() if "\t" in l}
+    assert out0 <= out_now
+    # snapshot 0 must see only first-half samples
+    assert all(int(s) < BUCKET for s in out0) and out0
