@@ -79,3 +79,44 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(parse, "name string, seq string, qual string")
+
+
+def translate_six_frames_df(
+    df, id_col: str = "name", seq_col: str = "seq", min_len: int = 1
+):
+    """Build-side six-frame translation — the reference's
+    `translate_fasta` step (translate_fasta.py:28-99) as a DataFrame
+    transform: each nucleotide row explodes into its >= min_len
+    translated frames, keyed (id, frame_id, seq).
+
+    Feed the output to `api.build_grouped(group_col=id_col,
+    text_col="seq", cfg(sequence_type="aminoacid"))` so all frames of
+    one input sequence OR-merge into ONE sample's filter — then
+    `search(seq_type="nucleotide")` queries translate symmetrically and
+    match regardless of strand/frame, the reference's protein-store
+    workflow end-to-end.
+
+    Translation runs in an Arrow-batched pandas iterator (the codon
+    table is pure-python per FRAME, not per base — ~len/3 dict hits per
+    row, the same cost profile as the reference's translate loop).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from metaprofi_spark.kernels.bio import six_frame_frames
+
+    out_schema = f"{id_col} string, frame_id string, seq string"
+
+    def fn(batches):
+        for pdf in batches:
+            ids, frames, seqs = [], [], []
+            for name, seq in zip(pdf[id_col], pdf[seq_col]):
+                for fid, frame in six_frame_frames(seq, str(name), min_len).items():
+                    ids.append(str(name))
+                    frames.append(fid)
+                    seqs.append(frame)
+            yield pd.DataFrame({id_col: ids, "frame_id": frames, "seq": seqs})
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(seq_col).alias(seq_col)
+    ).mapInPandas(fn, out_schema)

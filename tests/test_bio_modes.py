@@ -125,3 +125,42 @@ def test_nucleotide_query_against_aminoacid_store(spark):
     raw_hits = {(r.query_id, r.sample_idx) for r in raw.collect()}
     assert ("q3", qid) not in raw_hits
     idx.unpersist()
+
+
+def test_translated_store_build_e2e(spark, tmp_path):
+    """The reference's translate_fasta workflow as DataFrames: DNA rows
+    -> six-frame translate -> grouped aminoacid store; a NUCLEOTIDE
+    query then finds its source sequence regardless of frame, and a
+    decoy finds nothing (build_side T4, translate_fasta.py:28-99)."""
+    from metaprofi_spark import SketchConfig, api
+    from metaprofi_spark.kernels.bio import revcomp
+    from metaprofi_spark.sources.fasta import translate_six_frames_df
+
+    rng = __import__("random").Random(11)
+    dna = ["".join(rng.choice("ACGT") for _ in range(90)) for _ in range(12)]
+    df = spark.createDataFrame(
+        [(f"s{i}", s) for i, s in enumerate(dna)], "name string, seq string"
+    )
+    frames = translate_six_frames_df(df, min_len=4)
+    assert frames.count() == 12 * 6  # 90nt: all six frames >= 4 aa
+    cfg = SketchConfig(k=4, h=2, m=1 << 16, chunk_bits=1 << 13,
+                       slice_buckets=8, normalize="none",
+                       sequence_type="aminoacid")
+    store = str(tmp_path / "aa_store")
+    api.build_grouped(spark, frames, cfg, store, group_col="name",
+                      text_col="seq", sample_bucket_size=64)
+    dim = {r.group_key: r.sample_idx for r in api.samples_dim(spark, store).collect()}
+    # nucleotide probes: a forward slice of s3 and the REVERSE
+    # COMPLEMENT of a slice of s7 (reverse-strand frame must hit)
+    res = api.query(
+        spark, store,
+        [("q_fwd", dna[3][12:48]), ("q_rc", revcomp(dna[7][9:45])),
+         ("q_decoy", "TTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTT")],
+        threshold=100, seq_type="nucleotide",
+    )
+    hits = {}
+    for r in res.collect():
+        base = r.query_id.split("_reading_frame")[0].rsplit("_", 1)[0]
+        hits.setdefault(base, set()).add(r.sample_idx)
+    assert dim["s3"] in hits.get("q_fwd", set())
+    assert dim["s7"] in hits.get("q_rc", set())
