@@ -189,6 +189,17 @@ def query(
         if missing:
             raise KeyError(f"unknown sample names: {sorted(missing)}")
         sample_ids = [int(r.sample_idx) for r in rows]
+        if snapshot is not None:
+            # the dim is the CURRENT store's; a name whose sample joined
+            # after the queried snapshot must error, not silently match
+            # nothing (r3 review)
+            beyond = [r.group_key for r in rows
+                      if int(r.sample_idx) >= int(manifest["n_samples"])]
+            if beyond:
+                raise KeyError(
+                    f"sample names not present in snapshot {snapshot}: "
+                    f"{sorted(beyond)}"
+                )
     if isinstance(queries, DataFrame):
         res = search_df(spark, index_df, queries, stored_cfg, threshold, bucket,
                         sample_ids=sample_ids)

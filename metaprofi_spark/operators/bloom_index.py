@@ -338,14 +338,20 @@ def _write_manifest(path: str, manifest: dict) -> None:
     except FileNotFoundError:
         pass
     manifest = dict(manifest, snapshot_id=prev_id + 1)
-    snap_dir = os.path.join(path, "snapshots")
-    os.makedirs(snap_dir, exist_ok=True)
-    with open(os.path.join(snap_dir, f"v{manifest['snapshot_id']}.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, p)  # atomic commit: readers see old or new, never half
+    # archive AFTER the commit (a crash in between loses only the
+    # history entry, never exposes an uncommitted segment via time
+    # travel), and atomically (tmp+rename — a truncated vN.json would
+    # otherwise wedge readers AND vacuum's expire loop)
+    snap_dir = os.path.join(path, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    spath = os.path.join(snap_dir, f"v{manifest['snapshot_id']}.json")
+    with open(spath + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(spath + ".tmp", spath)
 
 
 def persist_index(
@@ -362,7 +368,21 @@ def persist_index(
     The manifest is the analog of the reference's store attrs
     (zarrstore.py:243-272): config, sample count, segment list — the
     contract checked on load (F8 guard).
+
+    ``mode="overwrite"`` into an existing store path is a NEW store:
+    the previous snapshot history (and its id chain) is wiped first —
+    stale snapshots would otherwise pass the on-disk segment check
+    against the REBUILT seg=u0 and time-travel to silently wrong data.
+    Leftover segment dirs from the old store are invisible (the fresh
+    manifest lists only u0) and reclaimable via vacuum_store.
     """
+    if mode == "overwrite":
+        import contextlib
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "snapshots"), ignore_errors=True)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(path, "manifest.json"))
     index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
         os.path.join(path, "index", "seg=u0")
     )

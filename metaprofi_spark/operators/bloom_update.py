@@ -234,7 +234,14 @@ def update_store(
                 "update_store requires a format_version>=2 segmented store; "
                 "rebuild with persist_index"
             )
-        seg = segment_name or f"u{len(manifest['segments'])}"
+        # u{update_count+1}, NOT u{len(segments)}: compaction shrinks the
+        # segment list, so a length-derived name could collide with a
+        # pre-compaction segment that archived snapshots still reference
+        # (overwriting it would silently corrupt time travel).  Each
+        # u{k} is only ever written while update_count == k-1, and a
+        # crash-retry before the commit rewrites the SAME name
+        # (idempotent), never a committed one.
+        seg = segment_name or f"u{manifest.get('update_count', 0) + 1}"
         if seg in manifest["segments"]:
             # named segment already committed: at-least-once caller retried
             # after success — exactly-once means doing nothing
@@ -333,18 +340,30 @@ def vacuum_store(path: str) -> list[str]:
             if d.startswith("seg=") and d not in live:
                 shutil.rmtree(os.path.join(idx_dir, d))
                 removed.append(d[len("seg="):])
-        # expire snapshots whose segments are no longer all live (the
-        # Iceberg expire-snapshots step); the CURRENT snapshot always
-        # survives — its segments are the live set
+        # expire snapshots whose segment dirs are no longer ALL on disk
+        # (the Iceberg expire-snapshots step) — checked against the
+        # filesystem, not just this call's removals, so a vacuum that
+        # crashed between rmtree and expiry converges on re-run; the
+        # CURRENT snapshot always survives (its segments are the live
+        # set, which this vacuum never deletes).  Unparseable snapshot
+        # files (should not occur: archives are tmp+rename) are removed
+        # rather than skipped forever.
         snap_dir = os.path.join(path, "snapshots")
-        if removed and os.path.isdir(snap_dir):
-            gone = set(removed)
+        if os.path.isdir(snap_dir):
             for name in os.listdir(snap_dir):
+                if not name.endswith(".json"):
+                    continue
+                spath = os.path.join(snap_dir, name)
                 try:
-                    with open(os.path.join(snap_dir, name)) as f:
+                    with open(spath) as f:
                         snap = json.load(f)
                 except (OSError, ValueError):
+                    with _contextlib.suppress(FileNotFoundError):
+                        os.unlink(spath)
                     continue
-                if gone & set(snap.get("segments", [])):
-                    os.unlink(os.path.join(snap_dir, name))
+                if any(
+                    not os.path.isdir(os.path.join(idx_dir, f"seg={s}"))
+                    for s in snap.get("segments", [])
+                ):
+                    os.unlink(spath)
         return removed

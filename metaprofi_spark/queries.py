@@ -429,7 +429,13 @@ def bloom_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metaprofi_spark.operators import build_index, build_matrix_grouped, densify_samples
 
     docs = _docs(spark, sf_dir)
-    bf = build_matrix_grouped(docs, QUERY_CFG, group_col="lang", text_col="text")
+    # eager localCheckpoint: the grouped build (the expensive stage) is
+    # consumed by BOTH the dim derivation and the index join — without
+    # it the whole aggregation would execute twice (r3 review); blocks
+    # are GC-cleaned, nothing outlives the query
+    bf = build_matrix_grouped(
+        docs, QUERY_CFG, group_col="lang", text_col="text"
+    ).localCheckpoint(eager=True)
     dim = densify_samples(bf.select("group_key").distinct(), "group_key").select(
         "group_key", "sample_idx"
     )
@@ -472,12 +478,18 @@ def fasta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .collect()
     )
-    path = os.path.join("/tmp", f"metaprofi_gate_{abs(hash(sf_dir))}.fa")
-    with open(path, "w") as f:
+    # deterministic path per sf_dir (hash() is seed-randomized per
+    # process and would leak one file per run); content is rebuilt
+    # identically every call and swapped in atomically, so a concurrent
+    # reader of the old inode is never torn (r3 review)
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join("/tmp", f"metaprofi_gate_{safe}.fa")
+    with open(path + ".tmp", "w") as f:
         for r in rows:
             f.write(f">{r.doc_id} synthetic\n")
             for i in range(0, len(r.dna), 60):
                 f.write(r.dna[i : i + 60] + "\n")
+    os.replace(path + ".tmp", path)
     return read_fasta(spark, path).select(
         F.split(F.col("name"), " ").getItem(0).cast("long").alias("doc_id"),
         F.col("seq"),

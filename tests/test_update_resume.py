@@ -789,3 +789,57 @@ def test_cli_search_snapshot(spark, docs, tmp_path, capsys):
     assert out0 <= out_now
     # snapshot 0 must see only first-half samples
     assert all(int(s) < BUCKET for s in out0) and out0
+
+
+def test_snapshot_history_survives_compact_then_update(tmp_path, spark, docs):
+    """r3 review: after compact (without vacuum), a further update must
+    NOT reuse a pre-compaction segment name — snapshot v1's segments
+    stay untouched and time travel to it remains correct."""
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import compact_store, load_index, update_store
+
+    path = str(tmp_path / "cu_store")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    api.build(spark, first, CFG, path, sample_bucket_size=BUCKET)        # snap 0
+    update_store(spark, path, rest, CFG, BUCKET)                          # snap 1: [u0, u1]
+    probe = [r.text[:40] for r in first.limit(1).collect()][0]
+    at1 = {(r.query_id, r.sample_idx)
+           for r in api.query(spark, path, [("q", probe)], 100, snapshot=1).collect()}
+    compact_store(spark, path)                                            # snap 2: [c1_0]
+    m = update_store(spark, path, first.limit(10), CFG, BUCKET)           # snap 3
+    assert "u1" not in m["segments"][-1:]  # new segment must be u2+
+    assert m["segments"][-1] == "u2"
+    # snapshot 1 still reads the ORIGINAL u1 bits
+    at1_again = {(r.query_id, r.sample_idx)
+                 for r in api.query(spark, path, [("q", probe)], 100, snapshot=1).collect()}
+    assert at1_again == at1
+
+
+def test_rebuild_resets_snapshot_history(tmp_path, spark, docs):
+    """r3 review: persist_index(mode=overwrite) into an existing store
+    is a NEW store — old snapshots are wiped, the id chain restarts at
+    0, and time travel can never mix the old manifest with rebuilt
+    segment bits."""
+    import os
+
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import load_index, update_store
+
+    path = str(tmp_path / "rebuild_store")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    api.build(spark, first, CFG, path, sample_bucket_size=BUCKET)
+    update_store(spark, path, rest, CFG, BUCKET)  # snapshots v0, v1
+    assert os.path.exists(os.path.join(path, "snapshots", "v1.json"))
+    # rebuild over the same path with a different corpus slice
+    api.build(spark, docs.limit(50), CFG, path, sample_bucket_size=BUCKET)
+    _df, _cfg, m = load_index(spark, path)
+    assert m["snapshot_id"] == 0 and m["segments"] == ["u0"]
+    assert not os.path.exists(os.path.join(path, "snapshots", "v1.json"))
+    idx0, _c, m0 = load_index(spark, path, snapshot=0)
+    assert m0["n_samples"] == 50  # the NEW store's snapshot, not the old one
