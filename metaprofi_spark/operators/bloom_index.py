@@ -321,7 +321,7 @@ def build_index_fused(
 # uncommitted segments for free.
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
+def _write_manifest(path: str, manifest: dict, reset_chain: bool = False) -> None:
     """Atomic manifest commit + snapshot history.
 
     Every commit gets a monotonically increasing ``snapshot_id`` and is
@@ -331,23 +331,35 @@ def _write_manifest(path: str, manifest: dict) -> None:
     vacuum/compact expire old snapshots by reclaiming their segments —
     readers get a clear error, never partial data)."""
     p = os.path.join(path, "manifest.json")
+    snap_dir = os.path.join(path, "snapshots")
     prev_id = -1
-    try:
-        with open(p) as f:
-            prev_id = int(json.load(f).get("snapshot_id", -1))
-    except FileNotFoundError:
-        pass
+    prev_manifest = None
+    if not reset_chain:
+        try:
+            with open(p) as f:
+                prev_manifest = json.load(f)
+            prev_id = int(prev_manifest.get("snapshot_id", -1))
+        except FileNotFoundError:
+            pass
+    os.makedirs(snap_dir, exist_ok=True)
+    if prev_manifest is not None and prev_id >= 0:
+        # backfill: if the previous commit crashed between its manifest
+        # rename and its archive write, its snapshot file is missing —
+        # restore it from manifest.json so the id isn't silently burned
+        prev_path = os.path.join(snap_dir, f"v{prev_id}.json")
+        if not os.path.exists(prev_path):
+            with open(prev_path + ".tmp", "w") as f:
+                json.dump(prev_manifest, f, indent=2, sort_keys=True)
+            os.replace(prev_path + ".tmp", prev_path)
     manifest = dict(manifest, snapshot_id=prev_id + 1)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, p)  # atomic commit: readers see old or new, never half
     # archive AFTER the commit (a crash in between loses only the
-    # history entry, never exposes an uncommitted segment via time
-    # travel), and atomically (tmp+rename — a truncated vN.json would
-    # otherwise wedge readers AND vacuum's expire loop)
-    snap_dir = os.path.join(path, "snapshots")
-    os.makedirs(snap_dir, exist_ok=True)
+    # history entry — backfilled by the NEXT commit above — and never
+    # exposes an uncommitted segment via time travel), and atomically
+    # (tmp+rename: a truncated vN.json would wedge readers)
     spath = os.path.join(snap_dir, f"v{manifest['snapshot_id']}.json")
     with open(spath + ".tmp", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -370,22 +382,34 @@ def persist_index(
     contract checked on load (F8 guard).
 
     ``mode="overwrite"`` into an existing store path is a NEW store:
-    the previous snapshot history (and its id chain) is wiped first —
-    stale snapshots would otherwise pass the on-disk segment check
-    against the REBUILT seg=u0 and time-travel to silently wrong data.
-    Leftover segment dirs from the old store are invisible (the fresh
-    manifest lists only u0) and reclaimable via vacuum_store.
-    """
-    if mode == "overwrite":
-        import contextlib
-        import shutil
+    after the data write succeeds, the previous snapshot history is
+    wiped and the id chain restarts at 0 — stale snapshots would
+    otherwise pass the on-disk segment check against the REBUILT
+    seg=u0 and time-travel to silently wrong data.  The old manifest
+    stays readable until the final atomic rename (a rebuild that fails
+    mid-write never bricks the store).  Leftover segment dirs from the
+    old store are invisible (the fresh manifest lists only u0) and
+    reclaimable via vacuum_store.
 
-        shutil.rmtree(os.path.join(path, "snapshots"), ignore_errors=True)
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(os.path.join(path, "manifest.json"))
+    Any other ``mode`` into an EXISTING store is refused: appending
+    rows into seg=u0 under old snapshots is exactly the corruption the
+    overwrite path guards against — incremental growth is
+    :func:`update_store`'s job.
+    """
+    existing = os.path.exists(os.path.join(path, "manifest.json"))
+    if existing and mode != "overwrite":
+        raise ValueError(
+            f"persist_index(mode={mode!r}) into an existing store would "
+            "mutate segments that snapshot history references; use "
+            "update_store to append, or mode='overwrite' to rebuild"
+        )
     index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
         os.path.join(path, "index", "seg=u0")
     )
+    if existing:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "snapshots"), ignore_errors=True)
     manifest = {
         "config": json.loads(cfg.to_json()),
         "n_samples": int(n_samples),
@@ -395,7 +419,7 @@ def persist_index(
         "format_version": 2,
     }
     manifest.update(extra_meta or {})
-    _write_manifest(path, manifest)
+    _write_manifest(path, manifest, reset_chain=existing)
 
 
 def store_summary(spark: SparkSession, path: str) -> dict:

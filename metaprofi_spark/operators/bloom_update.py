@@ -351,9 +351,15 @@ def vacuum_store(path: str) -> list[str]:
         snap_dir = os.path.join(path, "snapshots")
         if os.path.isdir(snap_dir):
             for name in os.listdir(snap_dir):
+                spath = os.path.join(snap_dir, name)
+                if name.endswith(".tmp"):
+                    # leftover from a crashed archive write — transient
+                    # by construction (we hold the writer lock)
+                    with _contextlib.suppress(FileNotFoundError):
+                        os.unlink(spath)
+                    continue
                 if not name.endswith(".json"):
                     continue
-                spath = os.path.join(snap_dir, name)
                 try:
                     with open(spath) as f:
                         snap = json.load(f)

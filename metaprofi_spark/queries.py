@@ -484,12 +484,16 @@ def fasta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reader of the old inode is never torn (r3 review)
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join("/tmp", f"metaprofi_gate_{safe}.fa")
-    with open(path + ".tmp", "w") as f:
+    # tmp name unique PER PROCESS: two concurrent harnesses on the same
+    # sf_dir must not truncate each other's half-written tmp (the final
+    # os.replace is atomic and the content is identical either way)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         for r in rows:
             f.write(f">{r.doc_id} synthetic\n")
             for i in range(0, len(r.dna), 60):
                 f.write(r.dna[i : i + 60] + "\n")
-    os.replace(path + ".tmp", path)
+    os.replace(tmp, path)
     return read_fasta(spark, path).select(
         F.split(F.col("name"), " ").getItem(0).cast("long").alias("doc_id"),
         F.col("seq"),

@@ -796,7 +796,7 @@ def test_snapshot_history_survives_compact_then_update(tmp_path, spark, docs):
     NOT reuse a pre-compaction segment name — snapshot v1's segments
     stay untouched and time travel to it remains correct."""
     from metaprofi_spark import api
-    from metaprofi_spark.operators import compact_store, load_index, update_store
+    from metaprofi_spark.operators import compact_store, update_store
 
     path = str(tmp_path / "cu_store")
     first = docs.filter(F.col("doc_id") < BUCKET)
