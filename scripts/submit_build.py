@@ -1,6 +1,14 @@
 """spark-submit entry point for the index build — the deployment shape
 the north rule names (`spark-submit --py-files metaprofi_spark.zip`).
 
+Smoke-verified (r3):
+    python scripts/make_pyfiles_zip.py
+    spark-submit --master local[8] --driver-memory 8g \
+        --py-files dist/metaprofi_spark.zip scripts/submit_build.py \
+        --input .../documents.parquet --output /tmp/store --k 8 --m 65536
+(--driver-memory matters: spark-submit defaults to 1g, far below what
+the local-mode build needs; a cluster sets executor memory instead.)
+
 Package + submit:
 
     python scripts/make_pyfiles_zip.py            # -> dist/metaprofi_spark.zip
