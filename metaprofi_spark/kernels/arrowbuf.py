@@ -88,12 +88,55 @@ def list_string_runs(col: pa.Array):
 
     Returns (counts int64 (n,), data uint8, offsets int64 (total+1,)).
     Null rows count as 0 tokens (they contribute nothing to the flat
-    values, matching the count)."""
+    values, matching the count).  Null TOKENS inside a list are hashed
+    as empty strings — enforced here with an explicit fill_null rather
+    than assumed from the offsets layout (the Arrow spec only
+    guarantees monotonic offsets for null slots, not zero-width ones,
+    so slicing a buffer with un-filled nulls could hash garbage)."""
     counts = (
         pc.fill_null(pc.list_value_length(col), 0)
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
     flat = col.flatten()
+    if flat.null_count:
+        flat = pc.fill_null(flat, "")
     data, offsets = string_buffer(flat)
     return counts, data, offsets
+
+
+def list_float_matrix(arr: pa.Array) -> np.ndarray:
+    """(n, dim) matrix view of an Arrow list<float>/list<double>/
+    fixed_size_list column whose rows all have the same length — the
+    embedding-column fast path (one contiguous values buffer, zero
+    Python objects per row; the r3 advice's mapInArrow upgrade of the
+    `map(np.asarray)` batch loop).
+
+    Raises on ragged rows or null rows/values: an embedding table with
+    missing vectors should fail loudly, not hash garbage."""
+    t = arr.type
+    if arr.null_count:
+        raise ValueError("list_float_matrix: null rows in embedding column")
+    if pa.types.is_fixed_size_list(t):
+        dim = t.list_size
+    else:
+        if pa.types.is_list(t):
+            off_dtype = np.int32
+        elif pa.types.is_large_list(t):
+            off_dtype = np.int64
+        else:
+            raise TypeError(f"not a list array: {t}")
+        offsets = np.frombuffer(arr.buffers()[1], off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        widths = np.diff(offsets)
+        if len(widths) == 0:
+            return np.empty((0, 0), np.float64)
+        if (widths != widths[0]).any():
+            raise ValueError("list_float_matrix: ragged embedding lengths")
+        dim = int(widths[0])
+    flat = arr.flatten()  # honors slice offsets (ListArray.flatten contract)
+    if flat.null_count:
+        raise ValueError("list_float_matrix: null values inside embeddings")
+    vals = flat.to_numpy(zero_copy_only=True)
+    return vals.reshape(len(arr), dim)

@@ -15,7 +15,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -171,31 +170,45 @@ def lsh_bucket_ids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, table_id, bucket) — sign-pattern LSH buckets per table."""
-    planes = [_hyperplanes(dim, n_bits, t) for t in range(n_tables)]
+    """(id, table_id, bucket) — sign-pattern LSH buckets per table.
+
+    mapInArrow: the embedding column is read as one contiguous Arrow
+    values buffer (kernels/arrowbuf.list_float_matrix) and all tables'
+    projections run as ONE (n, dim) @ (dim, T*n_bits) matmul — zero
+    Python objects per row (the r3 advice item on the
+    `map(np.asarray)` batch loop)."""
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
+    planes = np.stack([_hyperplanes(dim, n_bits, t) for t in range(n_tables)])
+    flat_planes = planes.reshape(-1, dim)  # (T*n_bits, dim)
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
 
     def bucketize(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
-            out_id, out_t, out_b = [], [], []
-            for t, P in enumerate(planes):
-                signs = (mat @ P.T) > 0  # (n, n_bits)
-                buckets = (signs.astype(np.int64) << np.arange(n_bits)).sum(axis=1)
-                out_id.extend(ids.tolist())
-                out_t.extend([t] * len(ids))
-                out_b.extend(buckets.tolist())
-            yield pd.DataFrame(
-                {
-                    "id": pd.array(out_id, dtype="int64"),
-                    "table_id": pd.array(out_t, dtype="int32"),
-                    "bucket": pd.array(out_b, dtype="int64"),
-                }
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = list_float_matrix(rb.column(1)).astype(np.float64)
+            signs = (mat @ flat_planes.T) > 0  # (n, T*n_bits)
+            buckets = (
+                signs.reshape(n, n_tables, n_bits).astype(np.int64) * weights
+            ).sum(axis=2)  # (n, T)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables), pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(n_tables, dtype=np.int32), n),
+                        pa.int32(),
+                    ),
+                    pa.array(buckets.reshape(-1), pa.int64()),
+                ],
+                ["id", "table_id", "bucket"],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         bucketize, "id long, table_id int, bucket long"
     )
 
@@ -207,17 +220,34 @@ def _rerank_candidates(
     id_col: str,
     vec_col: str,
     quantized: bool = False,
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """Exact re-rank of (query_id, neighbor_id) candidate pairs (shared
     by the LSH and IVF paths).  ``quantized=True`` ranks by the integer
     quantized dot product (round(x*1000) as long) — the same scoring as
     :func:`knn_topk_quantized`, so an ANN result whose candidate set
     covers the true top-k is BIT-IDENTICAL to the brute-force baseline
-    (the verified-gate tier)."""
+    (the verified-gate tier).
+
+    The broadcast query-vector side is FILTERED to the query ids before
+    the broadcast hint (the r3 verdict's one scale-killer: broadcasting
+    `qv` built from the unfiltered corpus ships ALL vectors to every
+    executor — an OOM at 10^9 rows even though the join discards the
+    non-candidates).  Callers pass ``query_ids`` (bounded by the query
+    set, becomes a pushed parquet filter); without it the filter is a
+    semi-join against the candidate pairs' distinct query ids."""
     from pyspark.sql.window import Window
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    qv = vecs.withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
+    if query_ids is not None:
+        vecs_q = vecs.filter(F.col(id_col).isin(query_ids))
+    else:
+        vecs_q = vecs.join(
+            cand.select(F.col("query_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+    qv = vecs_q.withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
     cv = vecs.withColumnsRenamed({id_col: "neighbor_id", vec_col: "cv"})
     if quantized:
         score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
@@ -268,7 +298,9 @@ def ann_lsh_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    return _rerank_candidates(cand, df, k, id_col, vec_col, quantized=quantized)
+    return _rerank_candidates(
+        cand, df, k, id_col, vec_col, quantized=quantized, query_ids=query_ids
+    )
 
 
 def embedding_near_dup_components(
@@ -371,26 +403,33 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell) — distributed nearest-centroid assignment (one matmul
-    per Arrow batch against the broadcast centroid matrix)."""
+    per Arrow batch against the broadcast centroid matrix; embedding
+    values come straight off the Arrow buffer, no per-row Python)."""
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
 
     def fn(batches):
         C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = list_float_matrix(rb.column(1)).astype(np.float64)
             mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
             cell = (mat @ C.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "cell": pd.array(cell, dtype="int32"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cell.astype(np.int32), pa.int32()),
+                ],
+                ["id", "cell"],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(fn, "id long, cell int")
+    return df.select(id_col, vec_col).mapInArrow(fn, "id long, cell int")
 
 
 def ann_ivf_topk(
@@ -402,12 +441,20 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid, each
     query probes its ``nprobe`` closest cells, exact cosine re-rank
     inside the probed cells.  Scan fraction ~= nprobe/n_centroids — the
     inverted-file scale path next to ann_lsh_topk.  Recall vs brute
-    force is measured in tests."""
+    force is measured in tests.
+
+    ``quantized=True`` re-ranks with the integer quantized dot product
+    (same scoring as :func:`knn_topk_quantized`); with
+    ``nprobe == n_centroids`` every cell is probed, the candidate set
+    is the full corpus, and the result is BIT-IDENTICAL to brute force
+    — the verified gate tier (reference analog: exact-verify search,
+    search_index.py:518-575)."""
     spark = df.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -419,8 +466,9 @@ def ann_ivf_topk(
     if not qrows:
         # empty query list / ids absent from the corpus: an empty result
         # like the candidate-join path, not an np.stack ValueError
+        out_col = "dot long" if quantized else "cosine double"
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double"
+            [], f"query_id long, neighbor_id long, {out_col}"
         )
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
@@ -436,4 +484,6 @@ def ann_ivf_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    return _rerank_candidates(cand, df, k, id_col, vec_col)
+    return _rerank_candidates(
+        cand, df, k, id_col, vec_col, quantized=quantized, query_ids=query_ids
+    )

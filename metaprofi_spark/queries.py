@@ -918,6 +918,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, nprobe=8)
 
 
+def ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_centroids + QUANTIZED exact re-rank: every
+    cell is probed, so the candidate set is the full corpus and the
+    result is bit-identical to brute force — the IVF path's hash-exact
+    gate row against the same SQL as knn_quantized (the trick that
+    converted ann_lsh; reference analog: exact-verify search,
+    search_index.py:518-575)."""
+    from metaprofi_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(
+        emb, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, nprobe=16, quantized=True
+    )
+
+
 def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup connected components (LSH star edges +
     min-label propagation — the embedding dedup SCALE path;
@@ -1205,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_verified": ann_ivf_verified,
         "pricing_summary": pricing_summary,
         "top_orders_by_revenue": top_orders_by_revenue,
         "customers_per_region": customers_per_region,
@@ -1239,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "simhash_verified_pairs": SIMHASH_VERIFIED_SQL,
         "ann_lsh_verified": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
+        "ann_ivf_verified": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

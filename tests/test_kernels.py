@@ -162,3 +162,49 @@ def test_bit_matrix_transpose_vs_naive():
         wide = bit_matrix_transpose(mats, out_width_bytes=naive.shape[1] + 2)
         assert (wide[:, : naive.shape[1]] == naive).all()
         assert not wide[:, naive.shape[1]:].any()
+
+
+def test_list_float_matrix_layouts():
+    """Arrow list<float>/large_list/fixed_size_list + slice offsets all
+    yield the same (n, dim) matrix; ragged and null inputs raise."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]]
+    want = np.asarray(rows, dtype=np.float32)
+    for typ in (
+        pa.list_(pa.float32()),
+        pa.large_list(pa.float32()),
+        pa.list_(pa.float32(), 3),
+    ):
+        arr = pa.array(rows, typ)
+        assert (list_float_matrix(arr) == want).all(), typ
+        # slice offsets honored (the pyarrow-16 buffer-offset trap)
+        assert (list_float_matrix(arr.slice(1, 2)) == want[1:]).all(), typ
+    with _pytest.raises(ValueError, match="ragged"):
+        list_float_matrix(pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32())))
+    with _pytest.raises(ValueError, match="null rows"):
+        list_float_matrix(pa.array([[1.0, 2.0], None], pa.list_(pa.float32())))
+    with _pytest.raises(ValueError, match="null values"):
+        list_float_matrix(pa.array([[1.0, None]], pa.list_(pa.float32())))
+    assert list_float_matrix(pa.array([], pa.list_(pa.float32()))).size == 0
+
+
+def test_list_string_runs_null_tokens_hash_as_empty():
+    """Null TOKENS inside a list<string> are explicitly filled to ''
+    before buffer slicing (r3 advice: the Arrow spec does not promise
+    zero-width offsets for nulls, so relying on the layout would hash
+    garbage)."""
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_string_runs
+
+    col = pa.array([["ab", None, "c"], None, ["d"]], pa.list_(pa.string()))
+    counts, data, offsets = list_string_runs(col)
+    assert counts.tolist() == [3, 0, 1]
+    toks = [
+        bytes(data[offsets[i]:offsets[i + 1]]) for i in range(len(offsets) - 1)
+    ]
+    assert toks == [b"ab", b"", b"c", b"d"]

@@ -565,3 +565,70 @@ def test_drop_embedding_near_duplicates(spark, embeddings):
     expect = {min(ids) for c in set(comp.values())
               for ids in [[i for i, cc in comp.items() if cc == c]]}
     assert kept == expect and kept
+
+
+def test_lsh_bucket_ids_match_numpy_reference(spark, embeddings):
+    """The mapInArrow bucket kernel (Arrow-buffer matrix view, one
+    matmul for all tables) equals a per-row numpy scalar reference —
+    pins the r4 Arrow-buffer rewrite to the r3 semantics."""
+    from metaprofi_spark.operators.similarity import _hyperplanes, lsh_bucket_ids
+
+    emb = embeddings.limit(100)
+    got = {(r.id, r.table_id, r.bucket) for r in
+           lsh_bucket_ids(emb, 64, 6, 3).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    expect = set()
+    for t in range(3):
+        P = _hyperplanes(64, 6, t)
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            signs = (P @ v) > 0
+            bucket = int(sum(int(s) << i for i, s in enumerate(signs)))
+            expect.add((r.vec_id, t, bucket))
+    assert got == expect and got
+
+
+def test_ivf_assign_matches_numpy_reference(spark, embeddings):
+    """The mapInArrow IVF assignment equals per-row numpy argmax."""
+    from metaprofi_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    emb = embeddings.limit(100)
+    C = train_ivf_centroids(emb, n_centroids=8)
+    got = {r.id: r.cell for r in ivf_assign(emb, C).collect()}
+    expect = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / (np.linalg.norm(v) + 1e-12)
+        expect[r.vec_id] = int((C @ v).argmax())
+    assert got == expect and got
+
+
+def test_ann_ivf_verified_matches_brute_force(spark, embeddings):
+    """nprobe == n_centroids probes every cell => candidate set is the
+    full corpus => quantized re-rank is bit-identical to brute force
+    (the ann_ivf_verified gate row's property)."""
+    from metaprofi_spark.operators.similarity import ann_ivf_topk
+
+    got = {tuple(r) for r in ann_ivf_topk(
+        embeddings, [0, 1, 2], k=5, n_centroids=8, nprobe=8, quantized=True
+    ).collect()}
+    want = {tuple(r) for r in knn_topk_quantized(embeddings, [0, 1, 2], k=5).collect()}
+    assert got == want and got
+
+
+def test_rerank_broadcast_side_is_filtered(spark, embeddings, tmp_path):
+    """The r3 verdict's scale-killer, pinned in the PHYSICAL PLAN: the
+    re-rank's broadcast query-vector relation must scan a FILTERED
+    parquet relation (PushedFilters on the query ids), never the whole
+    corpus.  Fresh parquet path — a cached read would satisfy any scan
+    (conftest cache-poisoning note)."""
+    p = str(tmp_path / "emb_plan")
+    embeddings.write.parquet(p)
+    emb = spark.read.parquet(p)
+    from metaprofi_spark.operators.similarity import ann_lsh_topk
+
+    res = ann_lsh_topk(emb, [0, 1, 2], dim=64, k=5, n_bits=4, n_tables=4,
+                       quantized=True)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(vec_id, [0,1,2" in plan, plan
+    assert "BroadcastExchange" in plan, plan
