@@ -190,6 +190,7 @@ def sf_queries(spark) -> dict[str, float]:
         "minhash_candidates",
         "simhash_pairs",
         "knn_quantized",
+        "ann_lsh",  # new key r4: pins the Arrow-buffer LSH kernel cost
         "text_stats",
         "fingerprint_groups",
     ]

@@ -41,10 +41,50 @@ def canonical_kmer(kmer: str) -> str:
     return min(kmer, revcomp(kmer))
 
 
-def translate(seq: str) -> str:
+def translate_scalar(seq: str) -> str:
+    """Reference scalar translation (the semantics oracle for tests)."""
     return "".join(
         _CODONS.get(seq[i : i + 3], "X") for i in range(0, len(seq) - 2, 3)
     )
+
+
+def _codon_tables():
+    """Base-5 codon LUT: bases map A,C,G,T -> 0..3, anything else -> 4;
+    codon index b0*25+b1*5+b2 -> amino byte, default 'X'.  Exactly the
+    dict semantics of translate_scalar (all 64 ACGT codons are in
+    _CODONS; any codon touching a non-ACGT byte falls to 'X')."""
+    import numpy as np
+
+    base5 = np.full(256, 4, np.uint8)
+    for i, c in enumerate("ACGT"):
+        base5[ord(c)] = i
+    lut = np.full(125, ord("X"), np.uint8)
+    for codon, aa in _CODONS.items():
+        idx = (
+            base5[ord(codon[0])] * 25
+            + base5[ord(codon[1])] * 5
+            + base5[ord(codon[2])]
+        )
+        lut[idx] = ord(aa)
+    return base5, lut
+
+
+_BASE5, _AA_LUT = _codon_tables()
+
+
+def translate(seq: str) -> str:
+    """Vectorized codon translation: one LUT gather per base + one per
+    codon instead of a dict hit per codon (the r3 verdict's cosmetic
+    note on the per-frame python loop; parity with translate_scalar is
+    pinned by test)."""
+    import numpy as np
+
+    b = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    ncod = len(b) // 3
+    if ncod == 0:
+        return ""
+    v = _BASE5[b[: ncod * 3]].reshape(ncod, 3).astype(np.int16)
+    return _AA_LUT[v[:, 0] * 25 + v[:, 1] * 5 + v[:, 2]].tobytes().decode("latin-1")
 
 
 def six_frame_translation(seq: str, min_len: int = 1) -> list[str]:

@@ -374,6 +374,7 @@ def persist_index(
     sample_bucket_size: int | None = None,
     extra_meta: dict | None = None,
     mode: str = "overwrite",
+    fail_before_commit: bool = False,
 ) -> None:
     """Write the index partitioned by slice_bucket + a JSON manifest.
 
@@ -381,20 +382,28 @@ def persist_index(
     (zarrstore.py:243-272): config, sample count, segment list — the
     contract checked on load (F8 guard).
 
-    ``mode="overwrite"`` into an existing store path is a NEW store:
-    after the data write succeeds, the previous snapshot history is
-    wiped and the id chain restarts at 0 — stale snapshots would
-    otherwise pass the on-disk segment check against the REBUILT
-    seg=u0 and time-travel to silently wrong data.  The old manifest
-    stays readable until the final atomic rename (a rebuild that fails
-    mid-write never bricks the store).  Leftover segment dirs from the
-    old store are invisible (the fresh manifest lists only u0) and
-    reclaimable via vacuum_store.
+    ``mode="overwrite"`` into an existing store path is a NEW store.
+    The rebuild is crash-safe and lock-protected (r3 advice: rewriting
+    seg=u0 in place while the old manifest referenced it meant a crash
+    mid-write left the manifest pointing at partial data, and a
+    concurrent update could interleave with the swap):
+
+      * the rebuilt index is written to a FRESH generation-suffixed
+        segment (``b{N}``) the old manifest never references — the old
+        store stays fully readable until the final atomic rename;
+      * the whole rebuild runs under :func:`store_lock`, so
+        update/compact/vacuum can never interleave with the swap;
+      * snapshot history is wiped before the commit (stale snapshots
+        would otherwise time-travel to the OLD generation's leftover
+        segment dirs); a crash in the window loses only history, never
+        current-state consistency;
+      * old segment dirs become orphans, reclaimable via vacuum_store.
 
     Any other ``mode`` into an EXISTING store is refused: appending
-    rows into seg=u0 under old snapshots is exactly the corruption the
-    overwrite path guards against — incremental growth is
-    :func:`update_store`'s job.
+    rows into a live segment under old snapshots is exactly the
+    corruption this path guards against — incremental growth is
+    :func:`update_store`'s job.  ``fail_before_commit`` injects a
+    crash between data write and manifest swap for the recovery test.
     """
     existing = os.path.exists(os.path.join(path, "manifest.json"))
     if existing and mode != "overwrite":
@@ -403,23 +412,47 @@ def persist_index(
             "mutate segments that snapshot history references; use "
             "update_store to append, or mode='overwrite' to rebuild"
         )
-    index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
-        os.path.join(path, "index", "seg=u0")
-    )
-    if existing:
-        import shutil
 
+    def _manifest(seg: str, rebuild_count: int) -> dict:
+        m = {
+            "config": json.loads(cfg.to_json()),
+            "n_samples": int(n_samples),
+            "sample_bucket_size": plan_index_geometry(
+                cfg, sample_bucket_size=sample_bucket_size
+            ),
+            "update_count": 0,
+            "segments": [seg],
+            "committed_segments": [seg],
+            "format_version": 2,
+        }
+        if rebuild_count:
+            m["rebuild_count"] = rebuild_count
+        m.update(extra_meta or {})
+        return m
+
+    if not existing:
+        index_df.write.mode(mode).partitionBy("slice_bucket").parquet(
+            os.path.join(path, "index", "seg=u0")
+        )
+        _write_manifest(path, _manifest("u0", 0))
+        return
+
+    import shutil
+
+    from metaprofi_spark.operators.bloom_update import store_lock
+
+    with store_lock(path):
+        with open(os.path.join(path, "manifest.json")) as f:
+            old = json.load(f)
+        gen = int(old.get("rebuild_count", 0)) + 1
+        seg = f"b{gen}"  # monotone across rebuilds: never a live name
+        index_df.write.mode("overwrite").partitionBy("slice_bucket").parquet(
+            os.path.join(path, "index", f"seg={seg}")
+        )
+        if fail_before_commit:
+            raise RuntimeError("injected crash between rebuild write and commit")
         shutil.rmtree(os.path.join(path, "snapshots"), ignore_errors=True)
-    manifest = {
-        "config": json.loads(cfg.to_json()),
-        "n_samples": int(n_samples),
-        "sample_bucket_size": plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size),
-        "update_count": 0,
-        "segments": ["u0"],
-        "format_version": 2,
-    }
-    manifest.update(extra_meta or {})
-    _write_manifest(path, manifest, reset_chain=existing)
+        _write_manifest(path, _manifest(seg, gen), reset_chain=True)
 
 
 def store_summary(spark: SparkSession, path: str) -> dict:

@@ -140,8 +140,18 @@ def store_lock(
     try:
         yield
     finally:
-        with _contextlib.suppress(FileNotFoundError):
-            os.unlink(lock_path)
+        # release ONLY if we still own the lock: if a peer (wrongly or
+        # rightly) broke ours and acquired its own, unlinking here would
+        # destroy the peer's mutual exclusion for a third writer (r3
+        # advice).  A live same-host owner is never broken by protocol,
+        # so read-then-unlink is race-free for the local case.
+        try:
+            with open(lock_path) as f:
+                owner = json.load(f)
+            if int(owner.get("pid", -1)) == os.getpid():
+                os.unlink(lock_path)
+        except (OSError, ValueError):
+            pass  # gone, unreadable, or not ours: leave it alone
 
 
 def update_index(
@@ -242,7 +252,20 @@ def update_store(
         # crash-retry before the commit rewrites the SAME name
         # (idempotent), never a committed one.
         seg = segment_name or f"u{manifest.get('update_count', 0) + 1}"
-        if seg in manifest["segments"]:
+        # Idempotency must survive COMPACTION: compact_store replaces the
+        # segment list with one c* name, so `seg in segments` alone would
+        # let a replayed micro-batch (streaming restart re-running the
+        # last committed batch) re-append its docs (r3 advice).  The
+        # manifest's committed_segments set records every name ever
+        # committed; stores written before the field fall back to the
+        # live list + lineage's updates dict (which also survives
+        # compaction).
+        committed = set(manifest.get("committed_segments") or [])
+        if not committed:
+            committed = set(manifest["segments"]) | set(
+                read_lineage(path).get("updates", {})
+            )
+        if seg in committed:
             # named segment already committed: at-least-once caller retried
             # after success — exactly-once means doing nothing
             return manifest
@@ -256,6 +279,25 @@ def update_store(
 
             bf_raw, _mcfg, m_manifest = load_matrix(spark, matrix_path, cfg)
             n_new = int(m_manifest["n_samples"])
+            # the append shifts sample_idx by `base` and buckets by
+            # integer division — non-dense ids would land samples in
+            # wrong buckets or collide across the bucket boundary,
+            # corrupting the segment SILENTLY (r3 advice).  One cheap
+            # agg validates density before any data is written.
+            ext = bf_raw.agg(
+                F.min("sample_idx").alias("mn"),
+                F.max("sample_idx").alias("mx"),
+                F.countDistinct("sample_idx").alias("nd"),
+            ).first()
+            if n_new and (
+                ext["mn"] != 0 or ext["mx"] != n_new - 1 or ext["nd"] != n_new
+            ):
+                raise ValueError(
+                    f"matrix at {matrix_path} has non-dense sample_idx "
+                    f"(min={ext['mn']}, max={ext['mx']}, distinct={ext['nd']}, "
+                    f"expected dense 0..{n_new - 1}); appending it would "
+                    "corrupt bucket alignment"
+                )
             bf = bf_raw.withColumn("sample_idx", F.col("sample_idx") + F.lit(base))
         elif new_docs is not None:
             shifted = new_docs.withColumn("__sid", F.col(id_col) + F.lit(base))
@@ -270,6 +312,7 @@ def update_store(
         if fail_before_commit:
             raise RuntimeError("injected crash between segment write and commit")
         manifest["segments"] = manifest["segments"] + [seg]
+        manifest["committed_segments"] = sorted(committed | {seg})
         manifest["n_samples"] = base + n_new
         manifest["update_count"] = manifest.get("update_count", 0) + 1
         _write_manifest(path, manifest)
@@ -303,6 +346,7 @@ def compact_store(spark: SparkSession, path: str) -> dict:
         df, _cfg, manifest = load_index(spark, path)
         if not manifest.get("segments"):
             raise ValueError("compact_store requires a segmented (v2) store")
+        old_segments = list(manifest["segments"])
         seg = f"c{manifest.get('update_count', 0)}_{manifest.get('compactions', 0)}"
         (
             df.select("range_id", "sample_bucket", "bits", "slice_bucket")
@@ -313,6 +357,18 @@ def compact_store(spark: SparkSession, path: str) -> dict:
         from metaprofi_spark.operators.bloom_index import _write_manifest
 
         manifest["segments"] = [seg]
+        # committed_segments is the idempotency ledger and must SURVIVE
+        # compaction (it is why replayed micro-batches stay no-ops after
+        # a compact); the c* name joins it so a later caller reusing
+        # that name can never overwrite the live compacted segment
+        committed = set(manifest.get("committed_segments") or [])
+        if not committed:
+            from metaprofi_spark.plans.lineage import read_lineage
+
+            committed = set(old_segments) | set(
+                read_lineage(path).get("updates", {})
+            )
+        manifest["committed_segments"] = sorted(committed | {seg})
         manifest["compactions"] = manifest.get("compactions", 0) + 1
         _write_manifest(path, manifest)
         return manifest

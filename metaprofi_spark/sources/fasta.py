@@ -21,7 +21,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def read_fasta(spark: SparkSession, path: str) -> DataFrame:
-    """DataFrame(name string, seq string) from FASTA file(s)."""
+    """DataFrame(name string, seq string) from FASTA file(s).
+
+    Split boundary at scale: an UNCOMPRESSED FASTA splits on the ``>``
+    record delimiter, so one multi-GB file fans out across executors.
+    A gzip member is not splittable (Hadoop gzip codec): a single
+    multi-GB ``.fa.gz`` is read by ONE task.  Parallelism over
+    compressed inputs comes from the FILE axis — many ``.fa.gz`` files
+    read in parallel (pinned by test) — which is the common layout at
+    scale; the reference has the same constraint and works around it
+    with an indexed_gzip sidecar (utilities.py:508-523), out of scope
+    here.  Prefer bgzip-chunked or uncompressed inputs for single huge
+    files."""
     recs = (
         spark.read.option("lineSep", ">").text(path)
         .select(F.trim(F.col("value")).alias("rec"))

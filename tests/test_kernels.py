@@ -208,3 +208,19 @@ def test_list_string_runs_null_tokens_hash_as_empty():
         bytes(data[offsets[i]:offsets[i + 1]]) for i in range(len(offsets) - 1)
     ]
     assert toks == [b"ab", b"", b"c", b"d"]
+
+
+def test_translate_vectorized_equals_scalar():
+    """Vectorized base-5 LUT translation == the scalar dict oracle,
+    incl. ambiguity codes, lowercase leftovers, and tail lengths."""
+    import random
+
+    from metaprofi_spark.kernels.bio import translate, translate_scalar
+
+    r = random.Random(42)
+    alphabet = "ACGTN RYacgt"  # incl. non-ACGT and a space
+    for _ in range(200):
+        s = "".join(r.choice(alphabet) for _ in range(r.randrange(0, 40)))
+        assert translate(s) == translate_scalar(s), s
+    assert translate("") == "" and translate("AC") == ""
+    assert translate("ATGTAA") == "M_"

@@ -275,3 +275,83 @@ def test_streaming_tdigest_exact_n_and_sane_quantiles(spark, events, tmp_path):
     lo = ev.agg(F.min("value")).first()[0]
     hi = ev.agg(F.max("value")).first()[0]
     assert lo <= got[5][0] <= got[50][0] <= got[95][0] <= hi
+
+
+def test_streaming_dedup_equals_batch_groups(spark, tmp_path):
+    """Streaming exact dedup == batch exact_duplicate_groups on the same
+    rows, fed as MULTIPLE micro-batches (state folds across batches):
+    exactly one survivor per fingerprint group, each a member of its
+    group — the guarantee the batch twin gives, minus which member
+    (batch keeps min id, stream keeps first seen)."""
+    from metaprofi_spark.operators.dedup import exact_duplicate_groups
+    from metaprofi_spark.streaming.dedup import stream_drop_exact_duplicates
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # plant cross-batch duplicates: same text, whitespace/case variants
+    extra = spark.createDataFrame(
+        [(9001, "THE  planted   duplicate"), (9002, "the planted duplicate"),
+         (9003, " The Planted Duplicate ")],
+        "doc_id long, text string",
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(extra)
+    src = str(tmp_path / "dedup_src")
+    # two files => at least two micro-batch-able splits; the planted
+    # dupes straddle them (9002/9003 in file B, 9001 in file A)
+    docs.select("doc_id", "text").filter(F.col("doc_id") < 250).unionByName(
+        extra.filter(F.col("doc_id") == 9001)
+    ).write.parquet(src + "/a")
+    docs.select("doc_id", "text").filter(F.col("doc_id") >= 250).unionByName(
+        extra.filter(F.col("doc_id") > 9001)
+    ).write.parquet(src + "/b")
+    stream = spark.readStream.schema(all_docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        stream_drop_exact_duplicates(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from dedup_out").collect()
+
+    groups = exact_duplicate_groups(all_docs).collect()
+    from metaprofi_spark.functions.text import fingerprint as fp_col
+
+    fp_of = {r.doc_id: r.fp for r in all_docs.select(
+        "doc_id", fp_col(F.col("text")).alias("fp")).collect()}
+    # exactly one survivor per fingerprint group
+    surv_fps = [fp_of[r.doc_id] for r in got]
+    assert len(surv_fps) == len(set(surv_fps)) == len(groups)
+    assert set(surv_fps) == {g.fp for g in groups}
+    # the planted 3-row group collapsed to one survivor
+    planted = [r.doc_id for r in got if r.doc_id in (9001, 9002, 9003)]
+    assert len(planted) == 1
+
+
+def test_streaming_dedup_watermark_mode_runs(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: state is keyed by fingerprint
+    with event-time eviction; same one-survivor-per-group result on a
+    bounded replay (all rows inside the watermark)."""
+    from metaprofi_spark.streaming.dedup import stream_drop_exact_duplicates
+
+    rows = [(1, "same text", "2024-01-01 00:00:00"),
+            (2, "same  TEXT ", "2024-01-01 00:10:00"),
+            (3, "other text", "2024-01-01 00:20:00")]
+    src = str(tmp_path / "wm_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        stream_drop_exact_duplicates(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_wm")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.doc_id for r in spark.sql("select * from dedup_wm").collect())
+    assert len(got) == 2 and 3 in got and (1 in got or 2 in got)

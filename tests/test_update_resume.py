@@ -839,7 +839,137 @@ def test_rebuild_resets_snapshot_history(tmp_path, spark, docs):
     # rebuild over the same path with a different corpus slice
     api.build(spark, docs.limit(50), CFG, path, sample_bucket_size=BUCKET)
     _df, _cfg, m = load_index(spark, path)
-    assert m["snapshot_id"] == 0 and m["segments"] == ["u0"]
+    # rebuilds land in a fresh generation segment (b1), never the old u0
+    assert m["snapshot_id"] == 0 and m["segments"] == ["b1"]
     assert not os.path.exists(os.path.join(path, "snapshots", "v1.json"))
     idx0, _c, m0 = load_index(spark, path, snapshot=0)
     assert m0["n_samples"] == 50  # the NEW store's snapshot, not the old one
+
+
+def test_rebuild_crash_keeps_old_store_readable(spark, docs, tmp_path):
+    """r3 advice: a rebuild (persist_index overwrite into an existing
+    store) that crashes between data write and manifest swap must leave
+    the OLD store fully readable — the rebuild writes a fresh b{N}
+    segment, never seg=u0 in place."""
+    from metaprofi_spark.operators import load_index
+
+    path = str(tmp_path / "rebuildcrash")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    before, _, m_before = load_index(spark, path)
+    rows_before = {(r.range_id, r.sample_bucket, bytes(r.bits))
+                   for r in before.collect()}
+
+    small = build_index(build_matrix(docs.limit(10), CFG), CFG,
+                        sample_bucket_size=BUCKET)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        persist_index(small, path, CFG, n_samples=10,
+                      sample_bucket_size=BUCKET, fail_before_commit=True)
+    after, _, m_after = load_index(spark, path)
+    assert m_after["segments"] == m_before["segments"] == ["u0"]
+    assert m_after["n_samples"] == BUCKET
+    rows_after = {(r.range_id, r.sample_bucket, bytes(r.bits))
+                  for r in after.collect()}
+    assert rows_after == rows_before
+    # a retried rebuild then succeeds and supersedes the old store
+    persist_index(small, path, CFG, n_samples=10, sample_bucket_size=BUCKET)
+    _df, _cfg, m = load_index(spark, path)
+    assert m["segments"] == ["b1"] and m["n_samples"] == 10
+    # no lock leaked by the crashed attempt (it failed inside store_lock)
+    assert not os.path.exists(os.path.join(path, "manifest.lock"))
+
+
+def test_named_segment_idempotent_across_compaction(spark, docs, tmp_path):
+    """r3 advice: the exactly-once skip must SURVIVE compaction — a
+    replayed micro-batch after compact_store (streaming restart
+    re-running the last committed batch) must stay a no-op even though
+    the segment list no longer carries its name."""
+    from metaprofi_spark.operators import compact_store, load_index
+
+    path = str(tmp_path / "idemcompact")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    m1 = update_store(spark, path, rest, CFG, BUCKET, segment_name="batch3")
+    mc = compact_store(spark, path)
+    assert mc["segments"] == ["c1_0"]
+    assert "batch3" in mc["committed_segments"]
+    rows = load_index(spark, path)[0].count()
+    # replay of the committed batch AFTER compaction: still a no-op
+    m2 = update_store(spark, path, rest, CFG, BUCKET, segment_name="batch3")
+    assert m2["n_samples"] == m1["n_samples"]
+    assert m2["segments"] == ["c1_0"]
+    assert load_index(spark, path)[0].count() == rows
+
+
+def test_store_lock_release_checks_ownership(tmp_path):
+    """r3 advice: the lock release must verify ownership — if a peer
+    broke our lock and acquired its own, our exit must NOT delete the
+    peer's live lock file."""
+    import json
+
+    from metaprofi_spark.operators.bloom_update import store_lock
+
+    path = str(tmp_path)
+    lock = os.path.join(path, "manifest.lock")
+    with store_lock(path):
+        # simulate a peer breaking our lock and planting its own
+        with open(lock, "w") as f:
+            json.dump({"pid": 999999999, "ts": 0}, f)
+    # our exit must have left the peer's lock untouched
+    with open(lock) as f:
+        assert json.load(f)["pid"] == 999999999
+    os.unlink(lock)
+    # normal path still releases
+    with store_lock(path):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_update_store_rejects_non_dense_matrix(spark, docs, tmp_path):
+    """r3 advice: appending a matrix whose sample_idx is not dense
+    0..n-1 would shift samples into wrong buckets — update_store must
+    refuse it loudly instead of corrupting the segment."""
+    from metaprofi_spark.operators.bloom_build import persist_matrix
+
+    path = str(tmp_path / "densestore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+
+    sparse_docs = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", (F.col("doc_id") - BUCKET) * 2  # gaps: 0,2,4,...
+    )
+    n = sparse_docs.count()
+    mpath = str(tmp_path / "sparse_matrix")
+    persist_matrix(build_matrix(sparse_docs, CFG), mpath, CFG, n_samples=n)
+    with pytest.raises(ValueError, match="non-dense sample_idx"):
+        update_store(spark, path, cfg=CFG, matrix_path=mpath,
+                     sample_bucket_size=BUCKET)
+
+
+def test_gzip_fasta_parallelism_is_per_file(spark, tmp_path):
+    """The gzip split boundary, demonstrated: N .fa.gz files scan as
+    >= N input partitions (per-FILE parallelism), while one .fa.gz is
+    a single task however large — the documented read_fasta constraint
+    (Hadoop gzip codec non-splittability; the reference works around it
+    with indexed_gzip, out of scope)."""
+    import gzip
+
+    from metaprofi_spark.sources.fasta import read_fasta
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(4):
+        with gzip.open(d / f"part{i}.fa.gz", "wt") as f:
+            for j in range(50):
+                f.write(f">s{i}_{j}\n{'ACGT' * 10}\n")
+    many = read_fasta(spark, str(d))
+    assert many.count() == 200
+    assert many.rdd.getNumPartitions() >= 4  # one task per file minimum
+    single = read_fasta(spark, str(d / "part0.fa.gz"))
+    assert single.rdd.getNumPartitions() == 1  # gzip member: one task
