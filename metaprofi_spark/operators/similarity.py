@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _quantize(col):
-    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+    # EXPLICIT double before the multiply: a float32 component like
+    # 0.3195f is 319.49999928 in double (rounds to 319) but its f32
+    # product 0.3195f*1000f is exactly 319.5 (rounds to 320) — engines
+    # that multiply in FLOAT diverge on such boundaries (found by the
+    # r4 sf0.1 sweep, vec 1879 comp 17).  The SQL oracles carry the
+    # same CAST(x AS DOUBLE) so both sides round identical doubles.
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
 
 
 def _dot_long(a, b):
@@ -73,11 +79,11 @@ def knn_quantized_sql(query_ids: list[int], k: int = 10) -> str:
     return f"""
 WITH qv AS (
   SELECT vec_id AS query_id,
-         list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
   FROM embeddings WHERE vec_id IN ({ids})
 ), cv AS (
   SELECT vec_id AS neighbor_id,
-         list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS c
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS c
   FROM embeddings
 ), scored AS (
   SELECT query_id, neighbor_id,
@@ -146,7 +152,8 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_sql(min_dot_q: int) -> str:
     return f"""
 WITH q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

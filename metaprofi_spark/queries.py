@@ -801,10 +801,16 @@ def minhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates exact-verified by token-set Jaccard — runs the
     LINEAR candidate plan but is hash-exact vs the quadratic SQL truth
     (zero false negatives of the banded signature on this corpus; the
-    per-pair verify removes all false positives)."""
+    per-pair verify removes all false positives).
+
+    n_perm=128 / bands=32 (r=4): signatures are seed-fixed, so coverage
+    is deterministic per (corpus, params) — the r4 sf0.1 sweep caught
+    (64, 16) missing 26 of 2.97M true pairs (per-pair miss <= 2.1e-4 at
+    tau=0.8); at b=32 the bound is 4.4e-8, verified exact at sf0.01 AND
+    sf0.1."""
     from metaprofi_spark.operators.dedup import minhash_verified_pairs
 
-    return minhash_verified_pairs(_docs(spark, sf_dir), JACCARD_TAU, 64, 16)
+    return minhash_verified_pairs(_docs(spark, sf_dir), JACCARD_TAU, 128, 32)
 
 
 def simhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,12 +853,18 @@ def ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-LSH with QUANTIZED exact re-rank — when the bucket union
     covers the true top-k (recall pinned in tests, and exact on this
     corpus) the result is bit-identical to brute force, so the ANN path
-    gets a hash-exact gate row against the same SQL as knn_quantized."""
+    gets a hash-exact gate row against the same SQL as knn_quantized.
+
+    n_tables=48: hyperplanes are seed-fixed, so coverage is a
+    DETERMINISTIC fact per (corpus, params) — the r4 sf0.1 sweep caught
+    24 tables missing 2 true neighbors at 5000 vectors (p_table ~= 0.14
+    at cosine 0.34 -> 3% miss at 24 tables, 0.08% at 48); 48 tables are
+    verified exact at sf0.01 AND sf0.1."""
     from metaprofi_spark.operators.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk(
-        emb, KNN_QUERY_IDS, dim=64, k=KNN_K, n_bits=4, n_tables=24,
+        emb, KNN_QUERY_IDS, dim=64, k=KNN_K, n_bits=4, n_tables=48,
         quantized=True,
     )
 
