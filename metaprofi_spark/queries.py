@@ -469,31 +469,39 @@ def fasta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), reads it back with sources.fasta.read_fasta, and returns
     (doc_id, seq) — the oracle recomputes the same DNA in SQL."""
     import os
+    import shutil
 
     from metaprofi_spark.sources.fasta import read_fasta
 
-    rows = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _dna_col().alias("dna"))
-        .orderBy("doc_id")
-        .collect()
+    # DISTRIBUTED fixture write (r3 verdict: the old driver-side collect
+    # was fine at sf0.01 but would not be at sf1): each doc renders its
+    # whole FASTA record as one text row — ">id synthetic" + the DNA
+    # wrapped at 60 chars (regexp inserts \n after every 60-char run;
+    # a possible trailing blank line is ignored by the reader).
+    record = F.concat(
+        F.lit(">"),
+        F.col("doc_id").cast("string"),
+        F.lit(" synthetic\n"),
+        F.regexp_replace(_dna_col(), "(.{60})", "$1\n"),
     )
-    # deterministic path per sf_dir (hash() is seed-randomized per
-    # process and would leak one file per run); content is rebuilt
-    # identically every call and swapped in atomically, so a concurrent
-    # reader of the old inode is never torn (r3 review)
+    # deterministic dir per sf_dir + generation version (content is a
+    # pure function of doc_id, pinned by golden checksums — bump the
+    # version only with an intentional generation change).  Build once,
+    # publish atomically: writers land in a pid-unique tmp dir and
+    # os.rename into place; exactly one concurrent harness wins, losers
+    # clean up (content identical either way), readers never see a
+    # half-written dir (the _SUCCESS check gates reuse).
     safe = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join("/tmp", f"metaprofi_gate_{safe}.fa")
-    # tmp name unique PER PROCESS: two concurrent harnesses on the same
-    # sf_dir must not truncate each other's half-written tmp (the final
-    # os.replace is atomic and the content is identical either way)
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        for r in rows:
-            f.write(f">{r.doc_id} synthetic\n")
-            for i in range(0, len(r.dna), 60):
-                f.write(r.dna[i : i + 60] + "\n")
-    os.replace(tmp, path)
+    path = os.path.join("/tmp", f"metaprofi_gate_{safe}_fa_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        _docs(spark, sf_dir).select(record.alias("value")).write.mode(
+            "overwrite"
+        ).text(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
     return read_fasta(spark, path).select(
         F.split(F.col("name"), " ").getItem(0).cast("long").alias("doc_id"),
         F.col("seq"),

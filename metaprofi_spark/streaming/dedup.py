@@ -24,6 +24,8 @@ for bounded backfills, documented trade).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from metaprofi_spark.functions.text import fingerprint
@@ -57,3 +59,93 @@ def stream_drop_exact_duplicates(
     else:
         fp = fp.dropDuplicates([_FP])
     return fp.drop(_FP)
+
+
+def foreach_batch_near_dedup(
+    sig_store: str,
+    out_dir: str,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch callback: MinHash near-dup dedup of a document
+    stream against everything seen before — the streaming twin of
+    operators/dedup.drop_near_duplicates, with the LSH signature state
+    in a PARQUET STORE instead of executor memory (the only shape that
+    survives an unbounded crawl: state is ~b longs per doc, readable by
+    any later job, and partition-pruned per micro-batch).
+
+    Per micro-batch:
+
+    1. band signatures of the batch (`minhash_bands` — the same
+       Arrow-buffer kernel as batch dedup);
+    2. drop docs sharing ANY band bucket with a PREVIOUS batch
+       (left_anti against the store, partition-filtered to
+       batch < current — so a retry never collides with its own
+       half-written signatures);
+    3. within-batch: the exact batch operator (`drop_near_duplicates`:
+       connected components, min-id representative) over the survivors
+       — a single-batch stream is therefore IDENTICAL to the batch
+       pipeline (pinned by test);
+    4. append the batch's signatures (`batch=N` partition) and write
+       the kept docs (`out/batch=N`) — both mode=overwrite into
+       per-batch dirs, so at-least-once retries are idempotent.
+
+    Invariant pinned by test: no kept doc shares a band bucket with any
+    doc of an earlier batch, and within a batch the kept set equals the
+    batch operator's output on the store-survivors.
+    """
+    from metaprofi_spark.operators.dedup import drop_near_duplicates, minhash_bands
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = minhash_bands(batch_df, n_perm, bands, id_col, text_col)
+        survivors = batch_df
+        if os.path.isdir(sig_store) and any(
+            e.startswith("batch=") for e in os.listdir(sig_store)
+        ):
+            prev = spark.read.option("basePath", sig_store).parquet(
+                sig_store + "/batch=*"
+            ).filter(F.col("batch") < batch_id)
+            hit = (
+                b.join(prev, ["band_id", "band_hash"], "left_semi")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            survivors = batch_df.join(hit, id_col, "left_anti")
+        kept = drop_near_duplicates(survivors, n_perm, bands, id_col, text_col)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        b.write.mode("overwrite").parquet(
+            os.path.join(sig_store, f"batch={batch_id}")
+        )
+
+    return fn
+
+
+def stream_drop_near_duplicates(
+    stream_df: DataFrame,
+    sig_store: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a document stream through MinHash near-dup dedup; kept docs
+    land under ``out_dir/batch=N``.  Returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            foreach_batch_near_dedup(
+                sig_store, out_dir, n_perm, bands, id_col, text_col
+            )
+        )
+        .start()
+    )

@@ -46,7 +46,12 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    spark = get_spark(cores=8, app_name="oracle-check", shuffle_partitions=8)
+    # console progress bars write \r-terminated lines that concatenate
+    # with result lines when the output is piped — keep the log clean
+    spark = get_spark(
+        cores=8, app_name="oracle-check", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0

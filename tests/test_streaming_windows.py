@@ -355,3 +355,74 @@ def test_streaming_dedup_watermark_mode_runs(spark, tmp_path):
     q.stop()
     got = sorted(r.doc_id for r in spark.sql("select * from dedup_wm").collect())
     assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+
+
+def test_streaming_near_dedup_single_batch_equals_batch_operator(spark, tmp_path):
+    """A single-micro-batch stream through the near-dup sink must equal
+    the batch pipeline exactly (step 3 IS drop_near_duplicates when the
+    store is empty)."""
+    from metaprofi_spark.operators.dedup import drop_near_duplicates
+    from metaprofi_spark.streaming.dedup import stream_drop_near_duplicates
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "nd_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_drop_near_duplicates(
+        stream, str(tmp_path / "sigs"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/batch=0")).collect()}
+    want = {r.doc_id for r in drop_near_duplicates(docs).collect()}
+    assert got == want and got
+
+
+def test_streaming_near_dedup_multi_batch_invariants(spark, tmp_path):
+    """Multi-batch fold: (a) no kept doc of a later batch shares a band
+    bucket with ANY earlier-batch doc; (b) batch-1 kept == the batch
+    operator over the store-survivors; (c) an at-least-once RETRY of a
+    committed batch is idempotent (per-batch overwrite dirs + the
+    batch< filter keep it from colliding with its own signatures)."""
+    from metaprofi_spark.operators.dedup import drop_near_duplicates, minhash_bands
+    from metaprofi_spark.streaming.dedup import foreach_batch_near_dedup
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    d0 = docs.filter(F.col("doc_id") < 250)
+    # plant one token-disjoint doc in batch 1: this corpus is near-dup
+    # heavy by construction (clean_corpus keeps ~8%), so batch 1 can
+    # legitimately keep nothing — the planted doc guarantees the kept
+    # set is non-trivially exercised
+    unique = spark.createDataFrame(
+        [(9999, "zqx wvy kjh pqr mnb vcx " * 4)], "doc_id long, text string"
+    )
+    d1 = docs.filter(F.col("doc_id") >= 250).unionByName(unique)
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    fn = foreach_batch_near_dedup(sigs, out)
+    fn(d0, 0)
+    fn(d1, 1)
+    kept0 = spark.read.parquet(out + "/batch=0")
+    kept1 = spark.read.parquet(out + "/batch=1")
+    # (a) later-batch kept docs never collide with ANY earlier-batch doc
+    b0 = minhash_bands(d0)
+    bk1 = minhash_bands(kept1.select("doc_id", "text"))
+    collisions = bk1.join(b0, ["band_id", "band_hash"], "left_semi").count()
+    assert collisions == 0
+    # (b) batch-1 kept == batch operator over the store-survivors
+    hit = (
+        minhash_bands(d1).join(b0, ["band_id", "band_hash"], "left_semi")
+        .select(F.col("id").alias("doc_id")).distinct()
+    )
+    survivors = d1.join(hit, "doc_id", "left_anti")
+    want1 = {r.doc_id for r in drop_near_duplicates(survivors).collect()}
+    got1 = {r.doc_id for r in kept1.collect()}
+    assert got1 == want1
+    assert 9999 in got1  # the token-disjoint plant always survives
+    # (c) retry of committed batch 1: identical output, no self-collision
+    before = sorted(got1)
+    fn(d1, 1)
+    after = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=1").collect())
+    assert after == before and after
