@@ -103,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="rewrite all segments into one + vacuum orphans")
     common(c)
 
+    d = sub.add_parser(
+        "delete",
+        help="tombstone samples (logical delete: results exclude them "
+             "immediately; bits reclaimed at the next rebuild)",
+    )
+    common(d)
+    d.add_argument("--sample-ids", help="comma-separated matrix positions")
+    d.add_argument("--sample-names", help="comma-separated sample names (grouped stores)")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -206,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
             manifest = compact_store(spark, args.store)
             removed = vacuum_store(args.store)
             print(json.dumps({"segments": manifest["segments"], "vacuumed": removed}))
+        elif args.cmd == "delete":
+            ids = ([int(x) for x in args.sample_ids.split(",")]
+                   if args.sample_ids else None)
+            names = (args.sample_names.split(",")
+                     if args.sample_names else None)
+            manifest = api.delete(spark, args.store, sample_ids=ids,
+                                  sample_names=names)
+            print(json.dumps({
+                "tombstones": manifest["tombstones"],
+                "delete_count": manifest["delete_count"],
+            }))
     finally:
         if owns_session:
             spark.stop()

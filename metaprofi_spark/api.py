@@ -206,11 +206,46 @@ def query(
     else:
         res = search(spark, index_df, queries, stored_cfg, threshold, bucket,
                      sample_ids=sample_ids, seq_type=seq_type)
+    # tombstones (logical deletes): excluded at the result edge — the
+    # manifest is snapshot-scoped, so time travel shows pre-delete hits
+    from metaprofi_spark.operators.bloom_update import load_tombstones
+
+    tomb = load_tombstones(spark, path, manifest)
+    if tomb is not None:
+        res = res.join(tomb, "sample_idx", "left_anti")
     if write_to_file:
         from metaprofi_spark.operators.bloom_search import write_results_stream
 
         write_results_stream(res, write_to_file, threshold)
     return res
+
+
+def delete(
+    spark: SparkSession,
+    path: str,
+    sample_ids: list[int] | None = None,
+    sample_names: list[str] | None = None,
+) -> dict:
+    """Logical sample deletion (tombstones — no reference analog; the
+    takedown/opt-out operation a training-data pipeline needs).  Deleted
+    samples stop appearing in :func:`query` results immediately;
+    physical bits are reclaimed at the next full rebuild.  Accepts
+    matrix positions or, for grouped stores, sample NAMES (resolved via
+    the samples dim exactly like query's scoping)."""
+    from metaprofi_spark.operators.bloom_update import delete_samples
+
+    if sample_names is not None:
+        if sample_ids is not None:
+            raise ValueError("pass sample_ids or sample_names, not both")
+        dim = samples_dim(spark, path)
+        rows = dim.filter(dim.group_key.isin(list(sample_names))).collect()
+        missing = set(sample_names) - {r.group_key for r in rows}
+        if missing:
+            raise KeyError(f"unknown sample names: {sorted(missing)}")
+        sample_ids = [int(r.sample_idx) for r in rows]
+    if not sample_ids:
+        raise ValueError("delete needs sample_ids or sample_names")
+    return delete_samples(spark, path, sample_ids)
 
 
 def summary(spark: SparkSession, path: str) -> dict:

@@ -396,6 +396,19 @@ def vacuum_store(path: str) -> list[str]:
             if d.startswith("seg=") and d not in live:
                 shutil.rmtree(os.path.join(idx_dir, d))
                 removed.append(d[len("seg="):])
+        # orphan tombstone files (crash between write and commit, or a
+        # rebuild's previous generation): same rule — anything not in
+        # the committed list is invisible to readers and reclaimable.
+        # Committed tombstones are append-only, so every snapshot's
+        # list is a prefix of the current one; nothing a live snapshot
+        # references is ever removed here.
+        tomb_dir = os.path.join(path, "tombstones")
+        if os.path.isdir(tomb_dir):
+            live_tombs = set(manifest.get("tombstones", []))
+            for d in os.listdir(tomb_dir):
+                if d not in live_tombs:
+                    shutil.rmtree(os.path.join(tomb_dir, d))
+                    removed.append(f"tombstones/{d}")
         # expire snapshots whose segment dirs are no longer ALL on disk
         # (the Iceberg expire-snapshots step) — checked against the
         # filesystem, not just this call's removals, so a vacuum that
@@ -429,3 +442,74 @@ def vacuum_store(path: str) -> list[str]:
                 ):
                     os.unlink(spath)
         return removed
+
+
+def delete_samples(
+    spark: SparkSession, path: str, sample_ids: list[int]
+) -> dict:
+    """LOGICAL deletion of samples from a persisted store — tombstones,
+    the Iceberg delete-file pattern applied to a Bloom index (a Bloom
+    filter cannot physically unset bits; the reference has no delete at
+    all).  The training-pipeline use case is takedown/opt-out: a sample
+    must stop appearing in ANY search result immediately, while the
+    physical bits are reclaimed only at the next full rebuild.
+
+    Mechanics mirror segments: each delete writes one parquet tombstone
+    file ``tombstones/d{N}/`` (sample_idx long, distinct, validated in
+    range), and commits by listing it in ``manifest["tombstones"]`` via
+    the atomic manifest rename — so a crash between write and commit
+    leaves an invisible orphan (vacuum reclaims it), snapshot N applies
+    exactly the tombstones committed AT snapshot N (time travel shows
+    pre-delete results), and the whole op runs under store_lock.
+
+    Readers: :func:`load_tombstones` -> anti-join on search results
+    (api.query does this automatically).  Searches still SCAN the
+    deleted samples' bits — cost of deletion is on the result edge, not
+    the scan, which is the right trade for rare deletes; physical
+    reclaim = rebuild (persist_index overwrite) from the retained docs.
+    """
+    import json
+    import time
+
+    from metaprofi_spark.operators.bloom_index import _write_manifest
+    from metaprofi_spark.plans.lineage import read_lineage, _write_lineage
+
+    ids = sorted(set(int(i) for i in sample_ids))
+    if not ids:
+        raise ValueError("delete_samples: empty sample_ids")
+    with store_lock(path):
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        n = int(manifest["n_samples"])
+        bad = [i for i in ids if not 0 <= i < n]
+        if bad:
+            raise ValueError(
+                f"sample ids out of range [0, {n}): {bad[:5]}"
+            )
+        dname = f"d{manifest.get('delete_count', 0) + 1}"
+        spark.createDataFrame(
+            [(i,) for i in ids], "sample_idx long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "tombstones", dname)
+        )
+        manifest["tombstones"] = manifest.get("tombstones", []) + [dname]
+        manifest["delete_count"] = manifest.get("delete_count", 0) + 1
+        _write_manifest(path, manifest)
+        lineage = read_lineage(path)
+        lineage.setdefault("deletes", {})[dname] = {
+            "n_ids": len(ids), "ts": int(time.time()),
+        }
+        _write_lineage(path, lineage)
+        return manifest
+
+
+def load_tombstones(spark: SparkSession, path: str, manifest: dict):
+    """DataFrame(sample_idx) of the manifest's committed tombstones, or
+    None when the store has none.  Pass the manifest from load_index —
+    for a snapshot read that is the HISTORICAL manifest, so time travel
+    applies exactly the deletes committed at that snapshot."""
+    names = manifest.get("tombstones") or []
+    if not names:
+        return None
+    paths = [os.path.join(path, "tombstones", d) for d in names]
+    return spark.read.parquet(*paths).select("sample_idx").distinct()

@@ -105,6 +105,51 @@ JOIN documents d ON instr(lower(d.text), lower(q.probe)) > 0
 """
 
 
+DELETE_IDS = [26, 58]  # match 'spark order' at sf0.01 (58) and sf0.1 (26, 58)
+# so the tombstone anti-join provably REMOVES rows at both gate scales
+_DELETE_STORE_MEMO: dict = {}
+
+
+def bloom_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes under the hash gate: build a PERSISTED store,
+    api.delete two samples (logical tombstones — the takedown/opt-out
+    op; no reference analog), then the same exact substring search as
+    bloom_substring_search through api.query, which anti-joins the
+    committed tombstones automatically.  Oracle = the substring SQL
+    minus the deleted ids, so the gate proves deleted samples vanish
+    from results while every other row is untouched."""
+    from metaprofi_spark import api
+
+    docs = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DELETE_STORE_MEMO.get(key)
+    if path is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/metaprofi_gate_delstore_{safe}"
+        # rebuild per session into the same path: persist_index's
+        # generation-segment overwrite makes this crash-safe, and the
+        # fresh manifest orphans any previous session's tombstones
+        api.build(spark, docs.select("doc_id", "text"), QUERY_CFG, path,
+                  sample_bucket_size=_BUCKET)
+        api.delete(spark, path, sample_ids=DELETE_IDS)
+        _DELETE_STORE_MEMO[key] = path
+    cand = api.query(spark, path, [(p, p) for p in PROBES], threshold=100)
+    return (
+        cand.withColumnRenamed("query_id", "probe")
+        .join(docs, cand.sample_idx == docs.doc_id)
+        .filter(F.instr(F.lower(F.col("text")), F.lower(F.col("probe"))) > 0)
+        .select(F.col("probe"), F.col("doc_id"))
+    )
+
+
+BLOOM_DELETE_SQL = f"""
+SELECT q.probe AS probe, d.doc_id AS doc_id
+FROM (VALUES {_probes_sql_values()}) q(probe)
+JOIN documents d ON instr(lower(d.text), lower(q.probe)) > 0
+WHERE d.doc_id NOT IN ({", ".join(str(i) for i in DELETE_IDS)})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom threshold search (A7): candidates verified by exact k-gram counting
 # ---------------------------------------------------------------------------
@@ -1228,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_canonical_search": bloom_canonical_search,
         "bloom_sixframe_search": bloom_sixframe_search,
         "bloom_update_search": bloom_update_search,
+        "bloom_delete_search": bloom_delete_search,
         "fingerprint_groups": fingerprint_groups,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
@@ -1270,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_canonical_search": _canonical_sql(),
         "bloom_sixframe_search": _sixframe_sql(),
         "bloom_update_search": BLOOM_SUBSTRING_SQL,
+        "bloom_delete_search": BLOOM_DELETE_SQL,
         "fingerprint_groups": FINGERPRINT_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "minhash_verified_pairs": ngram_jaccard_sql(JACCARD_TAU),

@@ -973,3 +973,116 @@ def test_gzip_fasta_parallelism_is_per_file(spark, tmp_path):
     assert many.rdd.getNumPartitions() >= 4  # one task per file minimum
     single = read_fasta(spark, str(d / "part0.fa.gz"))
     assert single.rdd.getNumPartitions() == 1  # gzip member: one task
+
+
+def test_delete_samples_lifecycle(spark, docs, tmp_path):
+    """Tombstone deletes: deleted samples vanish from api.query results
+    (and only they do); time travel to the pre-delete snapshot still
+    shows them; a second delete stacks; out-of-range/empty inputs
+    raise."""
+    from metaprofi_spark import api
+
+    path = str(tmp_path / "delstore")
+    api.build(spark, docs.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").first()
+    q = [("q", probe.text[: 5 * CFG.k])]
+    before = {r.sample_idx for r in api.query(spark, path, q).collect()}
+    assert probe.doc_id in before
+    pre_snapshot = 0  # the build commit
+
+    m = api.delete(spark, path, sample_ids=[int(probe.doc_id)])
+    assert m["tombstones"] == ["d1"] and m["delete_count"] == 1
+    after = {r.sample_idx for r in api.query(spark, path, q).collect()}
+    assert after == before - {probe.doc_id}
+    # time travel: the pre-delete snapshot still shows the sample
+    historic = {r.sample_idx for r in
+                api.query(spark, path, q, snapshot=pre_snapshot).collect()}
+    assert historic == before
+    # second delete stacks (append-only tombstone list)
+    other = sorted(after)[0]
+    m2 = api.delete(spark, path, sample_ids=[int(other)])
+    assert m2["tombstones"] == ["d1", "d2"]
+    after2 = {r.sample_idx for r in api.query(spark, path, q).collect()}
+    assert after2 == after - {other}
+    with pytest.raises(ValueError, match="out of range"):
+        api.delete(spark, path, sample_ids=[10**9])
+    with pytest.raises(ValueError, match="empty|needs"):
+        api.delete(spark, path, sample_ids=[])
+
+
+def test_delete_samples_crash_orphan_vacuumed(spark, docs, tmp_path):
+    """A tombstone dir without a manifest commit is invisible to readers
+    and reclaimed by vacuum (same orphan rule as segments)."""
+    import json
+
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import vacuum_store
+    from metaprofi_spark.operators.bloom_update import load_tombstones
+
+    path = str(tmp_path / "delorphan")
+    api.build(spark, docs.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)
+    # simulate a crash between tombstone write and manifest commit
+    spark.createDataFrame([(0,)], "sample_idx long").write.parquet(
+        os.path.join(path, "tombstones", "d1")
+    )
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert load_tombstones(spark, path, manifest) is None  # invisible
+    probe = docs.orderBy("doc_id").first()
+    res = {r.sample_idx for r in api.query(
+        spark, path, [("q", probe.text[: 5 * CFG.k])]).collect()}
+    assert probe.doc_id in res  # uncommitted delete has no effect
+    removed = vacuum_store(path)
+    assert "tombstones/d1" in removed
+    assert not os.path.exists(os.path.join(path, "tombstones", "d1"))
+    # a real delete now gets the d1 name cleanly
+    m = api.delete(spark, path, sample_ids=[0])
+    assert m["tombstones"] == ["d1"]
+
+
+def test_delete_by_sample_name_grouped_store(spark, docs, tmp_path):
+    """Grouped stores delete by sample NAME (resolved via the samples
+    dim, like query's name scoping); unknown names raise."""
+    from metaprofi_spark import api
+
+    path = str(tmp_path / "delnames")
+    api.build_grouped(spark, docs.withColumn("grp", F.col("lang")), CFG,
+                      path, group_col="grp", text_col="text",
+                      sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").first()
+    q = [("q", probe.text[: 5 * CFG.k])]
+    dim = {r.sample_idx: r.group_key
+           for r in api.samples_dim(spark, path).collect()}
+    before = {dim[r.sample_idx] for r in api.query(spark, path, q).collect()}
+    victim = sorted(before)[0]
+    api.delete(spark, path, sample_names=[victim])
+    after = {dim[r.sample_idx] for r in api.query(spark, path, q).collect()}
+    assert after == before - {victim}
+    with pytest.raises(KeyError, match="unknown sample names"):
+        api.delete(spark, path, sample_names=["no-such-lang"])
+
+
+def test_cli_delete(spark, docs, tmp_path, capsys):
+    """CLI: build, delete by id, search excludes the tombstoned sample."""
+    import json
+
+    from metaprofi_spark import api
+    from metaprofi_spark.__main__ import main as cli
+
+    path = str(tmp_path / "clidelstore")
+    api.build(spark, docs.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").first()
+    rc = cli(["delete", "--store", path,
+              "--sample-ids", str(probe.doc_id)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tombstones"] == ["d1"]
+    rc = cli(["search", "--store", path, "--sequence",
+              probe.text[: 5 * CFG.k], "--threshold", "100"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    hit_ids = {int(ln.split("\t")[1]) for ln in lines}
+    assert probe.doc_id not in hit_ids
