@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--sample-ids", help="comma-separated matrix positions")
     d.add_argument("--sample-names", help="comma-separated sample names (grouped stores)")
 
+    rb = sub.add_parser(
+        "rollback",
+        help="make snapshot N current via a new commit (undoes later "
+             "updates and deletes; rolled-past snapshots stay readable)",
+    )
+    common(rb)
+    rb.add_argument("--snapshot", type=int, required=True)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -225,6 +233,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "tombstones": manifest["tombstones"],
                 "delete_count": manifest["delete_count"],
+            }))
+        elif args.cmd == "rollback":
+            manifest = api.rollback(args.store, args.snapshot)
+            print(json.dumps({
+                "snapshot_id": manifest["snapshot_id"],
+                "segments": manifest["segments"],
+                "n_samples": manifest["n_samples"],
             }))
     finally:
         if owns_session:

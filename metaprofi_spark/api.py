@@ -248,6 +248,16 @@ def delete(
     return delete_samples(spark, path, sample_ids)
 
 
+def rollback(path: str, snapshot: int) -> dict:
+    """Iceberg ``rollback_to_snapshot``: make snapshot N the current
+    state via a NEW commit (history stays linear; rolled-past snapshots
+    remain readable until vacuum expires them).  Undoes updates AND
+    deletes committed after N."""
+    from metaprofi_spark.operators.bloom_update import rollback_store
+
+    return rollback_store(path, snapshot)
+
+
 def summary(spark: SparkSession, path: str) -> dict:
     """`metaprofi summary` analog (utilities.py:598-638)."""
     return store_summary(spark, path)

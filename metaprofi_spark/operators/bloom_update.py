@@ -439,6 +439,9 @@ def vacuum_store(path: str) -> list[str]:
                 if any(
                     not os.path.isdir(os.path.join(idx_dir, f"seg={s}"))
                     for s in snap.get("segments", [])
+                ) or any(
+                    not os.path.isdir(os.path.join(tomb_dir, d))
+                    for d in snap.get("tombstones", [])
                 ):
                     os.unlink(spath)
         return removed
@@ -512,4 +515,72 @@ def load_tombstones(spark: SparkSession, path: str, manifest: dict):
     if not names:
         return None
     paths = [os.path.join(path, "tombstones", d) for d in names]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        # only reachable via a snapshot manifest whose tombstones a
+        # vacuum reclaimed after a rollback — fail clearly, never
+        # silently resurrect deleted samples
+        raise FileNotFoundError(
+            f"snapshot expired: tombstone files reclaimed: {missing}"
+        )
     return spark.read.parquet(*paths).select("sample_idx").distinct()
+
+
+def rollback_store(path: str, snapshot: int) -> dict:
+    """Iceberg ``rollback_to_snapshot``: make the N-th committed
+    snapshot the CURRENT state via a NEW commit on top of the history
+    (never by rewinding the chain — the rolled-past snapshots stay
+    readable until vacuum expires them).
+
+    Visible state (segments, tombstones, n_samples, bucket size,
+    config) comes from the snapshot; the name COUNTERS
+    (update_count / compactions / delete_count / rebuild_count) carry
+    forward as the max of current and snapshot values, so a
+    post-rollback update can never reuse a segment name that a
+    rolled-past snapshot still references (the same collision rule the
+    compaction naming comment documents).  committed_segments stays the
+    UNION — it is the exactly-once ledger and must never forget.
+    """
+    import json
+
+    with store_lock(path):
+        spath = os.path.join(path, "snapshots", f"v{int(snapshot)}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"snapshot {snapshot} does not exist in {path}/snapshots"
+            )
+        with open(spath) as f:
+            snap = json.load(f)
+        idx_dir = os.path.join(path, "index")
+        missing = [
+            s for s in snap.get("segments", [])
+            if not os.path.isdir(os.path.join(idx_dir, f"seg={s}"))
+        ] + [
+            f"tombstones/{d}" for d in snap.get("tombstones", [])
+            if not os.path.isdir(os.path.join(path, "tombstones", d))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snapshot} expired: reclaimed by vacuum/compact: "
+                f"{missing}"
+            )
+        with open(os.path.join(path, "manifest.json")) as f:
+            cur = json.load(f)
+        new = dict(snap)
+        for key in ("update_count", "compactions", "delete_count",
+                    "rebuild_count"):
+            m = max(int(cur.get(key, 0)), int(snap.get(key, 0)))
+            if m:
+                new[key] = m
+        new["committed_segments"] = sorted(
+            set(cur.get("committed_segments") or [])
+            | set(snap.get("committed_segments") or [])
+            | set(snap.get("segments") or [])
+        )
+        from metaprofi_spark.operators.bloom_index import _write_manifest
+
+        _write_manifest(path, new)
+        # _write_manifest assigns the new snapshot_id on disk; return
+        # the COMMITTED state, not the pre-commit dict
+        with open(os.path.join(path, "manifest.json")) as f:
+            return json.load(f)

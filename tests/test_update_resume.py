@@ -1086,3 +1086,66 @@ def test_cli_delete(spark, docs, tmp_path, capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
     hit_ids = {int(ln.split("\t")[1]) for ln in lines}
     assert probe.doc_id not in hit_ids
+
+
+def test_rollback_store_restores_state_and_protects_names(spark, docs, tmp_path):
+    """rollback(N) restores segments+tombstones+n_samples of snapshot N
+    as a NEW commit; rolled-past snapshots stay readable; a later
+    update can never reuse a rolled-past segment name (counters carry
+    forward)."""
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import load_index, rollback_store
+
+    path = str(tmp_path / "rbstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    api.build(spark, first.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)                       # v0
+    api.update(spark, path, rest.select("doc_id", "text"), CFG)  # v1 (u1)
+    probe = docs.orderBy("doc_id").first()
+    q = [("q", probe.text[: 5 * CFG.k])]
+    api.delete(spark, path, sample_ids=[int(probe.doc_id)])      # v2 (d1)
+    gone = {r.sample_idx for r in api.query(spark, path, q).collect()}
+    assert probe.doc_id not in gone
+
+    m = rollback_store(path, 0)
+    assert m["segments"] == ["u0"] and m["n_samples"] == BUCKET
+    assert not m.get("tombstones")
+    assert m["snapshot_id"] == 3  # rollback is a NEW commit, not a rewind
+    restored = {r.sample_idx for r in api.query(spark, path, q).collect()}
+    assert probe.doc_id in restored  # delete undone
+    # rolled-past snapshot v1 still time-travels (u1 dir still on disk)
+    _df, _c, m1 = load_index(spark, path, snapshot=1)
+    assert m1["segments"] == ["u0", "u1"]
+    # post-rollback update must NOT reuse the name u1 that v1 references
+    m2 = api.update(spark, path, rest.select("doc_id", "text"), CFG)
+    assert m2["segments"] == ["u0", "u2"]
+    # and v1's data is untouched: snapshot read still sees its rows
+    assert load_index(spark, path, snapshot=1)[0].count() > 0
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        rollback_store(path, 99)
+
+
+def test_vacuum_expires_rolled_past_tombstone_snapshots(spark, docs, tmp_path):
+    """After a rollback, vacuum reclaims the now-unreferenced tombstone
+    file and expires the snapshots that referenced it — a later
+    snapshot read fails clearly instead of resurrecting deletes."""
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import rollback_store, vacuum_store
+
+    path = str(tmp_path / "rbvac")
+    api.build(spark, docs.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)                # v0
+    api.delete(spark, path, sample_ids=[0])             # v1 (d1)
+    rollback_store(path, 0)                             # v2 (no tombstones)
+    removed = vacuum_store(path)
+    assert "tombstones/d1" in removed
+    # v1 referenced d1 -> expired by this vacuum
+    assert not os.path.exists(os.path.join(path, "snapshots", "v1.json"))
+    # current state unaffected
+    probe = docs.orderBy("doc_id").first()
+    res = {r.sample_idx for r in api.query(
+        spark, path, [("q", probe.text[: 5 * CFG.k])]).collect()}
+    assert probe.doc_id in res
