@@ -494,3 +494,131 @@ def ann_ivf_topk(
     return _rerank_candidates(
         cand, df, k, id_col, vec_col, quantized=quantized, query_ids=query_ids
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF store — persisted ANN index (cell-partitioned parquet)
+# ---------------------------------------------------------------------------
+
+def persist_ivf(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Persist an IVF index: vectors CLUSTERED BY CELL on disk.
+
+    Layout: ``cells/cell=N/*.parquet`` rows (id, vec) partitioned by
+    nearest-centroid cell, plus ``ivf_manifest.json`` carrying the
+    centroid matrix (n_centroids × dim doubles — KBs, driver-side by
+    design, like every IVF implementation).  A query probing ``nprobe``
+    cells then reads EXACTLY those partitions (parquet partition
+    pruning — pinned by plan test), the scan-fraction law
+    nprobe/n_centroids made physical.  Returns the centroids."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(df, centroids, id_col, vec_col).withColumnsRenamed(
+        {"id": id_col}
+    )
+    data = df.select(id_col, vec_col).join(assigned, id_col)
+    data.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    dim = int(centroids.shape[1])
+    manifest = {
+        "n_centroids": int(centroids.shape[0]),
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [[float(x) for x in row] for row in centroids],
+    }
+    tmp = os.path.join(path, "ivf_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "ivf_manifest.json"))
+    return centroids
+
+
+def load_ivf(spark, path: str):
+    """(cells_df, centroids, manifest) of a persisted IVF store."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    return cells, centroids, manifest
+
+
+def ann_ivf_search_store(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 8,
+    quantized: bool = False,
+) -> DataFrame:
+    """Search a persisted IVF store with EXTERNAL query vectors
+    (queries need not be corpus members — the serving shape: index
+    built once, arbitrary queries after).
+
+    Per query: nearest ``nprobe`` centroids driver-side (bounded:
+    len(queries) × n_centroids dot products), then ONE scan of exactly
+    the probed cell partitions (parquet partition pruning), re-ranked
+    by cosine or the quantized integer dot product.  No self-exclusion:
+    a query vector equal to a stored vector legitimately retrieves it."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    cells, centroids, manifest = load_ivf(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    if not queries:
+        out = "dot long" if quantized else "cosine double"
+        return spark.createDataFrame([], f"query_id long, neighbor_id long, {out}")
+    Q = np.asarray([v for _, v in queries], dtype=np.float64)
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    probes = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(c))
+        for (qid, _), cs in zip(queries, probes)
+        for c in cs
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qv = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        f"query_id long, qv array<double>",
+    )
+    probe_cells = sorted({c for _, c in probe_rows})
+    scan = cells.filter(F.col("cell").isin(probe_cells))  # partition pruned
+    cand = (
+        scan.join(F.broadcast(probe_df), "cell")
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    if quantized:
+        score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
+        out_col = "dot"
+    else:
+        norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
+        score = (
+            _dot_double(F.col("qv"), F.col("cv"))
+            / (norm(F.col("qv")) * norm(F.col("cv")))
+        ).alias("cosine")
+        out_col = "cosine"
+    scored = cand.select("query_id", "neighbor_id", score).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", out_col)
+    )

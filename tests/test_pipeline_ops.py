@@ -632,3 +632,75 @@ def test_rerank_broadcast_side_is_filtered(spark, embeddings, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(vec_id, [0,1,2" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_ivf_store_roundtrip_and_exactness(spark, embeddings, tmp_path):
+    """Persisted IVF store: nprobe == n_centroids + quantized scoring
+    equals a driver-side numpy oracle over ALL vectors (external query
+    vectors, no self-exclusion)."""
+    from metaprofi_spark.operators.similarity import (
+        ann_ivf_search_store,
+        persist_ivf,
+    )
+
+    path = str(tmp_path / "ivfstore")
+    emb = embeddings.limit(300)
+    persist_ivf(emb, path, n_centroids=8)
+    rows = emb.select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows[:3]]
+    got = {tuple(r) for r in ann_ivf_search_store(
+        spark, path, queries, k=5, nprobe=8, quantized=True
+    ).collect()}
+    ids = np.array([r.vec_id for r in rows])
+    Q = np.array([np.round(np.asarray(r.embedding, dtype=np.float64) * 1000)
+                  for r in rows]).astype(np.int64)
+    expect = set()
+    for qid, _ in queries:
+        qv = Q[ids == qid][0]
+        dots = Q @ qv
+        order = np.lexsort((ids, -dots))[:5]
+        for i in order:
+            expect.add((qid, int(ids[i]), int(dots[i])))
+    assert got == expect and got
+
+
+def test_ivf_store_scan_prunes_cell_partitions(spark, embeddings, tmp_path):
+    """The store search's physical plan reads ONLY the probed cell
+    partitions (PartitionFilters on the cell partition column) — the
+    nprobe/n_centroids scan-fraction law made physical."""
+    from metaprofi_spark.operators.similarity import (
+        ann_ivf_search_store,
+        persist_ivf,
+    )
+
+    path = str(tmp_path / "ivfplan")
+    persist_ivf(embeddings.limit(300), path, n_centroids=8)
+    r0 = embeddings.orderBy("vec_id").first()
+    res = ann_ivf_search_store(
+        spark, path, [(0, list(r0.embedding))], k=5, nprobe=2
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert res.count() == 5
+
+
+def test_ivf_store_recall_vs_brute_force(spark, embeddings, tmp_path):
+    """Partial-probe recall against the store's own full-probe truth."""
+    from metaprofi_spark.operators.similarity import (
+        ann_ivf_search_store,
+        persist_ivf,
+    )
+
+    path = str(tmp_path / "ivfrecall")
+    persist_ivf(embeddings, path, n_centroids=16)
+    rows = embeddings.orderBy("vec_id").limit(5).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    full = ann_ivf_search_store(spark, path, queries, k=10, nprobe=16).collect()
+    part = ann_ivf_search_store(spark, path, queries, k=10, nprobe=6).collect()
+    fset, pset = {}, {}
+    for r in full:
+        fset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in part:
+        pset.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(fset[q] & pset.get(q, set())) / 10 for q in fset]
+    assert float(np.mean(recalls)) >= 0.5, recalls
