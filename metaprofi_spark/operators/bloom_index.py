@@ -475,9 +475,16 @@ def store_summary(spark: SparkSession, path: str) -> dict:
         for root, _dirs, files in os.walk(seg_dir):
             stored += sum(os.path.getsize(os.path.join(root, f)) for f in files)
     logical = int(agg["logical_bytes"] or 0)
+    n_tomb = 0
+    if manifest.get("tombstones"):
+        from metaprofi_spark.operators.bloom_update import load_tombstones
+
+        tomb = load_tombstones(spark, path, manifest)
+        n_tomb = tomb.count() if tomb is not None else 0
     return {
         "config": json.loads(cfg.to_json()),
         "n_samples": manifest["n_samples"],
+        "tombstoned_samples": n_tomb,
         "update_count": manifest.get("update_count", 0),
         "slabs": int(agg["slabs"]),
         "slice_buckets_present": int(agg["buckets"]),
