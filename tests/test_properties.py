@@ -243,3 +243,39 @@ def test_hash_queries_invariants(texts):
             distinct = sorted(set(int(p) for p in pos))
             assert sorted(g["slice_id"]) == distinct
             assert (g["n_slices"] == len(distinct)).all()
+
+
+@given(
+    st.integers(1, 16),  # dim
+    st.integers(0, 40),  # rows
+    st.integers(0, 5),   # slice offset
+    st.sampled_from(["list", "large_list", "fixed"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_list_float_matrix_property(dim, n, off, kind, seed):
+    """list_float_matrix == np.array(rows) for every layout, any slice
+    offset (the pyarrow buffer-offset trap), any dtype-roundtrippable
+    float values."""
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
+    rng = np.random.default_rng(seed)
+    rows = rng.standard_normal((n, dim)).astype(np.float32)
+    typ = {
+        "list": pa.list_(pa.float32()),
+        "large_list": pa.large_list(pa.float32()),
+        "fixed": pa.list_(pa.float32(), dim),
+    }[kind]
+    arr = pa.array([list(map(float, r)) for r in rows], typ)
+    got = list_float_matrix(arr)
+    assert got.shape == (n, dim) if n else got.size == 0
+    if n:
+        assert (got == rows).all()
+    off = min(off, n)
+    sliced = list_float_matrix(arr.slice(off, n - off))
+    if n - off:
+        assert (sliced == rows[off:]).all()
+    else:
+        assert sliced.size == 0
