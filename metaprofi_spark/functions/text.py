@@ -120,3 +120,59 @@ def rolling_hash_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) 
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+def repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition quality signals, ALL-INTEGER so the
+    result is hash-exact checkable against a SQL oracle (no float
+    ratios — callers divide; the fractions in the Gopher paper are
+    dup_tokens/n_tokens and top_*_count/n_tokens):
+
+      (id, n_tokens, dup_tokens, top_token_count, top_bigram_count)
+
+    * dup_tokens = n_tokens − n_distinct (token-level repetition mass);
+    * top_token_count = occurrences of the most frequent token;
+    * top_bigram_count = occurrences of the most frequent adjacent
+      bigram (0 when the doc has < 2 tokens).
+
+    Plan: one JVM tokenize, two explode→partial-agg pipelines
+    (per-(doc,gram) counts combine map-side, then a per-doc max) — no
+    Python anywhere, linear in corpus, the standard repeated-ngram
+    filter from the Gopher/C4 cleaning recipes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    counts = base.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(F.array_distinct("toks"))).alias("dup_tokens"),
+    )
+    top_tok = (
+        base.select("id", F.explode("toks").alias("tok"))
+        .groupBy("id", "tok").count()
+        .groupBy("id").agg(F.max("count").alias("top_token_count"))
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_big = (
+        base.select("id", F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg").count()
+        .groupBy("id").agg(F.max("count").alias("top_bigram_count"))
+    )
+    return (
+        counts.join(top_tok, "id", "left")
+        .join(top_big, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "dup_tokens",
+            F.coalesce("top_token_count", F.lit(0)).alias("top_token_count"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )

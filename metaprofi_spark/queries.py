@@ -818,6 +818,52 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, all-integer (dup-token mass,
+    top token / adjacent-bigram occurrence counts) — the repeated-ngram
+    quality filter family from LLM data-cleaning recipes, hash-exact vs
+    the SQL oracle."""
+    from metaprofi_spark.functions.text import repetition_stats
+
+    r = repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_tokens", "dup_tokens", "top_token_count",
+                    "top_bigram_count")],
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM t
+), tok_top AS (
+  SELECT doc_id, MAX(c) AS top_token_count
+  FROM (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), big_top AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+    SELECT doc_id, bg, count(*) AS c FROM (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+      FROM flat
+    ) WHERE bg IS NOT NULL GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(tok_top.top_token_count, 0) AS BIGINT) AS top_token_count,
+       CAST(COALESCE(big_top.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM t
+LEFT JOIN tok_top USING (doc_id)
+LEFT JOIN big_top USING (doc_id)
+"""
+
+
 def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup groups: md5 fingerprint of normalized text."""
     from metaprofi_spark.operators.dedup import exact_duplicate_groups
@@ -1275,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_update_search": bloom_update_search,
         "bloom_delete_search": bloom_delete_search,
         "fingerprint_groups": fingerprint_groups,
+        "repetition_stats": repetition_stats_q,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
         "minhash_verified_pairs": minhash_verified_pairs_q,
@@ -1318,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_update_search": BLOOM_SUBSTRING_SQL,
         "bloom_delete_search": BLOOM_DELETE_SQL,
         "fingerprint_groups": FINGERPRINT_SQL,
+        "repetition_stats": REPETITION_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "minhash_verified_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "simhash_verified_pairs": SIMHASH_VERIFIED_SQL,

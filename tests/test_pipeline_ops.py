@@ -704,3 +704,34 @@ def test_ivf_store_recall_vs_brute_force(spark, embeddings, tmp_path):
         pset.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(fset[q] & pset.get(q, set())) / 10 for q in fset]
     assert float(np.mean(recalls)) >= 0.5, recalls
+
+
+def test_repetition_stats_planted_values(spark):
+    """Hand-computed repetition signals on planted docs."""
+    from metaprofi_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b a b"), (2, "x"), (3, ""), (4, "p q  p Q")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.top_token_count,
+                      r.top_bigram_count)
+           for r in repetition_stats(df).collect()}
+    assert got == {
+        1: (5, 3, 3, 2),   # toks a,a,b,a,b; top tok a=3; top bigram 'a b'=2
+        2: (1, 0, 1, 0),   # single token: no bigrams
+        3: (0, 0, 0, 0),   # empty text
+        4: (4, 2, 2, 2),   # lowercased p,q,p,q — empties filtered BEFORE
+                           # adjacency, so 'p q' occurs twice
+    }
+
+
+def test_repetition_stats_plan_is_jvm_only(spark):
+    """No Python stage anywhere: tokenize/explode/agg are all JVM
+    (BatchEvalPython/ArrowEvalPython absent from the physical plan)."""
+    from metaprofi_spark.functions.text import repetition_stats
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
