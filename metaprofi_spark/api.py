@@ -182,12 +182,7 @@ def query(
     if sample_names is not None:
         if sample_ids is not None:
             raise ValueError("pass sample_ids or sample_names, not both")
-        dim = samples_dim(spark, path)
-        rows = dim.filter(dim.group_key.isin(list(sample_names))).collect()
-        found = {r.group_key for r in rows}
-        missing = set(sample_names) - found
-        if missing:
-            raise KeyError(f"unknown sample names: {sorted(missing)}")
+        rows = _resolve_sample_names(spark, path, sample_names)
         sample_ids = [int(r.sample_idx) for r in rows]
         if snapshot is not None:
             # the dim is the CURRENT store's; a name whose sample joined
@@ -220,6 +215,18 @@ def query(
     return res
 
 
+def _resolve_sample_names(spark: SparkSession, path: str, names: list[str]):
+    """Sample NAMES -> dim rows via the grouped store's samples/ dim
+    (the reference's user-facing scoping, search_index.py:549-553);
+    unknown names raise — shared by query() and delete()."""
+    dim = samples_dim(spark, path)
+    rows = dim.filter(dim.group_key.isin(list(names))).collect()
+    missing = set(names) - {r.group_key for r in rows}
+    if missing:
+        raise KeyError(f"unknown sample names: {sorted(missing)}")
+    return rows
+
+
 def delete(
     spark: SparkSession,
     path: str,
@@ -237,11 +244,7 @@ def delete(
     if sample_names is not None:
         if sample_ids is not None:
             raise ValueError("pass sample_ids or sample_names, not both")
-        dim = samples_dim(spark, path)
-        rows = dim.filter(dim.group_key.isin(list(sample_names))).collect()
-        missing = set(sample_names) - {r.group_key for r in rows}
-        if missing:
-            raise KeyError(f"unknown sample names: {sorted(missing)}")
+        rows = _resolve_sample_names(spark, path, sample_names)
         sample_ids = [int(r.sample_idx) for r in rows]
     if not sample_ids:
         raise ValueError("delete needs sample_ids or sample_names")

@@ -79,7 +79,12 @@ def translate(seq: str) -> str:
     pinned by test)."""
     import numpy as np
 
-    b = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    # errors="replace" maps any char above U+00FF to one '?' byte —
+    # not in ACGT, so its codons fall to 'X' EXACTLY like the scalar
+    # dict's .get default, and frame alignment is preserved (one byte
+    # per character either way; a strict encode would crash the whole
+    # job on a stray non-latin-1 char, per the r4 review)
+    b = np.frombuffer(seq.encode("latin-1", "replace"), np.uint8)
     ncod = len(b) // 3
     if ncod == 0:
         return ""

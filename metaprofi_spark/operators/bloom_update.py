@@ -280,23 +280,28 @@ def update_store(
             bf_raw, _mcfg, m_manifest = load_matrix(spark, matrix_path, cfg)
             n_new = int(m_manifest["n_samples"])
             # the append shifts sample_idx by `base` and buckets by
-            # integer division — non-dense ids would land samples in
+            # integer division — OUT-OF-RANGE ids would land samples in
             # wrong buckets or collide across the bucket boundary,
             # corrupting the segment SILENTLY (r3 advice).  One cheap
-            # agg validates density before any data is written.
+            # agg validates the range before any data is written.
+            # GAPS inside [0, n_new) are legitimate and safe: a doc
+            # shorter than k produces no filter rows (build_matrix
+            # min-length pruning), its sample simply has zero bits —
+            # same as the primary build path (r4 review: an exact
+            # density check rejected matrices the project's own
+            # pipeline produces).
             ext = bf_raw.agg(
                 F.min("sample_idx").alias("mn"),
                 F.max("sample_idx").alias("mx"),
-                F.countDistinct("sample_idx").alias("nd"),
             ).first()
-            if n_new and (
-                ext["mn"] != 0 or ext["mx"] != n_new - 1 or ext["nd"] != n_new
+            if ext["mn"] is not None and (
+                ext["mn"] < 0 or ext["mx"] > n_new - 1
             ):
                 raise ValueError(
                     f"matrix at {matrix_path} has non-dense sample_idx "
-                    f"(min={ext['mn']}, max={ext['mx']}, distinct={ext['nd']}, "
-                    f"expected dense 0..{n_new - 1}); appending it would "
-                    "corrupt bucket alignment"
+                    f"(min={ext['mn']}, max={ext['mx']}, expected within "
+                    f"0..{n_new - 1}); appending it would corrupt bucket "
+                    "alignment"
                 )
             bf = bf_raw.withColumn("sample_idx", F.col("sample_idx") + F.lit(base))
         elif new_docs is not None:
@@ -572,10 +577,19 @@ def rollback_store(path: str, snapshot: int) -> dict:
             m = max(int(cur.get(key, 0)), int(snap.get(key, 0)))
             if m:
                 new[key] = m
+        # union EVERYTHING the ledger could have known: for a store
+        # written before the committed_segments field, cur/snap carry
+        # it only implicitly in the live segment lists and lineage —
+        # omitting those would make a later at-least-once replay of a
+        # named segment re-append (r4 review)
+        from metaprofi_spark.plans.lineage import read_lineage
+
         new["committed_segments"] = sorted(
             set(cur.get("committed_segments") or [])
+            | set(cur.get("segments") or [])
             | set(snap.get("committed_segments") or [])
             | set(snap.get("segments") or [])
+            | set(read_lineage(path).get("updates", {}))
         )
         from metaprofi_spark.operators.bloom_index import _write_manifest
 

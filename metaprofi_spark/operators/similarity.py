@@ -220,6 +220,34 @@ def lsh_bucket_ids(
     )
 
 
+def _score_topk(joined: DataFrame, k: int, quantized: bool) -> DataFrame:
+    """Shared scoring + top-k over a (query_id, neighbor_id, qv, cv)
+    frame: quantized integer dot (the bit-identity contract with
+    knn_topk_quantized) or float cosine, row_number window with the
+    (desc score, asc neighbor_id) tie-break.  ONE definition so the
+    in-memory re-rank and the IVF store path can never drift (r4
+    review)."""
+    from pyspark.sql.window import Window
+
+    if quantized:
+        score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
+        out_col = "dot"
+    else:
+        norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
+        score = (
+            _dot_double(F.col("qv"), F.col("cv"))
+            / (norm(F.col("qv")) * norm(F.col("cv")))
+        ).alias("cosine")
+        out_col = "cosine"
+    scored = joined.select("query_id", "neighbor_id", score)
+    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", out_col)
+    )
+
+
 def _rerank_candidates(
     cand: DataFrame,
     df: DataFrame,
@@ -243,8 +271,6 @@ def _rerank_candidates(
     non-candidates).  Callers pass ``query_ids`` (bounded by the query
     set, becomes a pushed parquet filter); without it the filter is a
     semi-join against the candidate pairs' distinct query ids."""
-    from pyspark.sql.window import Window
-
     vecs = df.select(F.col(id_col), F.col(vec_col))
     if query_ids is not None:
         vecs_q = vecs.filter(F.col(id_col).isin(query_ids))
@@ -256,27 +282,8 @@ def _rerank_candidates(
         )
     qv = vecs_q.withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
     cv = vecs.withColumnsRenamed({id_col: "neighbor_id", vec_col: "cv"})
-    if quantized:
-        score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
-        out_col = "dot"
-    else:
-        norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
-        score = (
-            _dot_double(F.col("qv"), F.col("cv"))
-            / (norm(F.col("qv")) * norm(F.col("cv")))
-        ).alias("cosine")
-        out_col = "cosine"
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", score)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", out_col)
-    )
+    joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    return _score_topk(joined, k, quantized)
 
 
 def ann_lsh_topk(
@@ -520,14 +527,44 @@ def persist_ivf(
     import json
     import os
 
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
     if centroids is None:
         centroids = train_ivf_centroids(
             df, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    assigned = ivf_assign(df, centroids, id_col, vec_col).withColumnsRenamed(
-        {"id": id_col}
+    # ONE pass: the assignment kernel already holds ids, vectors, and
+    # cells in the same Arrow batch — emit all three instead of
+    # re-scanning the corpus and shuffle-joining cells back on (the r4
+    # review's extra-scan + corpus-sized-shuffle finding)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+    src = df.select(id_col, vec_col)
+    id_ddl = src.schema[id_col].dataType.simpleString()
+    vec_ddl = src.schema[vec_col].dataType.simpleString()
+
+    def fn(batches):
+        C = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mat = list_float_matrix(rb.column(1)).astype(np.float64)
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            cell = (mat @ C.T).argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(1),
+                    pa.array(cell.astype(np.int32), pa.int32()),
+                ],
+                [id_col, vec_col, "cell"],
+            )
+
+    data = src.mapInArrow(
+        fn, f"{id_col} {id_ddl}, {vec_col} {vec_ddl}, cell int"
     )
-    data = df.select(id_col, vec_col).join(assigned, id_col)
     data.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
@@ -575,10 +612,6 @@ def ann_ivf_search_store(
     the probed cell partitions (parquet partition pruning), re-ranked
     by cosine or the quantized integer dot product.  No self-exclusion:
     a query vector equal to a stored vector legitimately retrieves it."""
-    import os
-
-    from pyspark.sql.window import Window
-
     cells, centroids, manifest = load_ivf(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     if not queries:
@@ -599,26 +632,12 @@ def ann_ivf_search_store(
     )
     probe_cells = sorted({c for _, c in probe_rows})
     scan = cells.filter(F.col("cell").isin(probe_cells))  # partition pruned
-    cand = (
+    # every neighbor lives in exactly ONE cell and probe cells are
+    # distinct per query, so (query, neighbor) pairs are already unique
+    joined = (
         scan.join(F.broadcast(probe_df), "cell")
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"))
         .join(F.broadcast(qv), "query_id")
     )
-    if quantized:
-        score = _dot_long(_quantize(F.col("qv")), _quantize(F.col("cv"))).alias("dot")
-        out_col = "dot"
-    else:
-        norm = lambda v: F.sqrt(_dot_double(v, v))  # noqa: E731
-        score = (
-            _dot_double(F.col("qv"), F.col("cv"))
-            / (norm(F.col("qv")) * norm(F.col("cv")))
-        ).alias("cosine")
-        out_col = "cosine"
-    scored = cand.select("query_id", "neighbor_id", score).distinct()
-    w = Window.partitionBy("query_id").orderBy(F.desc(out_col), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", out_col)
-    )
+    return _score_topk(joined, k, quantized)

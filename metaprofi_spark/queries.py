@@ -120,18 +120,40 @@ def bloom_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results while every other row is untouched."""
     from metaprofi_spark import api
 
+    import json
+    import os
+    import shutil
+
     docs = _docs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_STORE_MEMO.get(key)
     if path is None:
         safe = sf_dir.strip("/").replace("/", "_")
-        path = f"/tmp/metaprofi_gate_delstore_{safe}"
-        # rebuild per session into the same path: persist_index's
-        # generation-segment overwrite makes this crash-safe, and the
-        # fresh manifest orphans any previous session's tombstones
-        api.build(spark, docs.select("doc_id", "text"), QUERY_CFG, path,
-                  sample_bucket_size=_BUCKET)
-        api.delete(spark, path, sample_ids=DELETE_IDS)
+        path = f"/tmp/metaprofi_gate_delstore_{safe}_v1"
+
+        def _complete(p: str) -> bool:
+            # complete = manifest committed WITH the tombstones — a
+            # concurrent harness must never observe the build-but-not-
+            # yet-deleted window (r4 review; same concurrency rule as
+            # the fasta fixture)
+            try:
+                with open(os.path.join(p, "manifest.json")) as f:
+                    return bool(json.load(f).get("tombstones"))
+            except (OSError, ValueError):
+                return False
+
+        if not _complete(path):
+            tmp = f"{path}.{os.getpid()}.tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            api.build(spark, docs.select("doc_id", "text"), QUERY_CFG, tmp,
+                      sample_bucket_size=_BUCKET)
+            api.delete(spark, tmp, sample_ids=DELETE_IDS)
+            try:
+                os.rename(tmp, path)  # atomic publish of the FULL store
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not _complete(path):  # not a concurrent winner: real error
+                    raise
         _DELETE_STORE_MEMO[key] = path
     cand = api.query(spark, path, [(p, p) for p in PROBES], threshold=100)
     return (
@@ -546,7 +568,11 @@ def fasta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                # not a concurrent winner — surface the real rename
+                # failure instead of an opaque read error (r4 review)
+                raise
     return read_fasta(spark, path).select(
         F.split(F.col("name"), " ").getItem(0).cast("long").alias("doc_id"),
         F.col("seq"),

@@ -218,9 +218,13 @@ def test_translate_vectorized_equals_scalar():
     from metaprofi_spark.kernels.bio import translate, translate_scalar
 
     r = random.Random(42)
-    alphabet = "ACGTN RYacgt"  # incl. non-ACGT and a space
+    # incl. non-ACGT, a space, AND non-latin-1 chars (Ω, em-dash):
+    # the r4 review caught a strict latin-1 encode crashing where the
+    # scalar path mapped the codon to 'X'
+    alphabet = "ACGTN RYacgtΩ—"
     for _ in range(200):
         s = "".join(r.choice(alphabet) for _ in range(r.randrange(0, 40)))
         assert translate(s) == translate_scalar(s), s
     assert translate("") == "" and translate("AC") == ""
     assert translate("ATGTAA") == "M_"
+    assert translate("AΩGACG") == "XT"  # unicode codon -> X, frame kept

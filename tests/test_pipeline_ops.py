@@ -643,9 +643,16 @@ def test_ivf_store_roundtrip_and_exactness(spark, embeddings, tmp_path):
         persist_ivf,
     )
 
+    from metaprofi_spark.operators.similarity import ivf_assign
+
     path = str(tmp_path / "ivfstore")
     emb = embeddings.limit(300)
-    persist_ivf(emb, path, n_centroids=8)
+    C = persist_ivf(emb, path, n_centroids=8)
+    # the one-pass persist kernel's cells == the standalone assigner
+    stored = {r.vec_id: r.cell for r in
+              spark.read.parquet(path + "/cells").collect()}
+    assigned = {r.id: r.cell for r in ivf_assign(emb, C).collect()}
+    assert stored == assigned and stored
     rows = emb.select("vec_id", "embedding").collect()
     queries = [(int(r.vec_id), list(r.embedding)) for r in rows[:3]]
     got = {tuple(r) for r in ann_ivf_search_store(

@@ -1149,3 +1149,37 @@ def test_vacuum_expires_rolled_past_tombstone_snapshots(spark, docs, tmp_path):
     res = {r.sample_idx for r in api.query(
         spark, path, [("q", probe.text[: 5 * CFG.k])]).collect()}
     assert probe.doc_id in res
+
+
+def test_update_store_accepts_matrix_with_short_doc_gaps(spark, docs, tmp_path):
+    """A doc shorter than k produces no filter rows (min-length
+    pruning), leaving a GAP in the matrix's sample_idx — that matrix is
+    legitimate (the sample just has zero bits) and must append cleanly
+    (r4 review: an exact-density check wrongly rejected it)."""
+    from metaprofi_spark.operators import load_index
+    from metaprofi_spark.operators.bloom_build import persist_matrix
+
+    path = str(tmp_path / "gapstore")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    # blank out one mid-range doc: shorter than k => zero filter rows
+    gappy = rest.withColumn(
+        "text", F.when(F.col("doc_id") == 5, F.lit("x")).otherwise(F.col("text"))
+    )
+    n = gappy.count()
+    mpath = str(tmp_path / "gap_matrix")
+    persist_matrix(build_matrix(gappy, CFG), mpath, CFG, n_samples=n)
+    m = update_store(spark, path, cfg=CFG, matrix_path=mpath,
+                     sample_bucket_size=BUCKET)
+    assert m["n_samples"] == BUCKET + n
+    # a probe from a NON-gap appended doc still matches
+    probe = rest.filter(F.col("doc_id") == 6).first()
+    loaded, _, man = load_index(spark, path, CFG)
+    res = search(spark, loaded, [("q", probe.text[: 5 * CFG.k])], CFG, 100,
+                 man["sample_bucket_size"])
+    assert any(r.sample_idx == BUCKET + 6 for r in res.collect())
