@@ -1183,3 +1183,70 @@ def test_update_store_accepts_matrix_with_short_doc_gaps(spark, docs, tmp_path):
     res = search(spark, loaded, [("q", probe.text[: 5 * CFG.k])], CFG, 100,
                  man["sample_bucket_size"])
     assert any(r.sample_idx == BUCKET + 6 for r in res.collect())
+
+
+def test_store_lifecycle_random_sequence_matches_model(spark, docs, tmp_path):
+    """Model-based interaction test: a fixed-seed random sequence of
+    {update, delete, compact, vacuum} ops against a live store, with a
+    driver-side model of (live samples, tombstoned ids).  After every
+    op the store's search answers for planted probes must match the
+    model — catches op-interaction bugs no single-op test sees
+    (e.g. delete→compact→update→vacuum chains)."""
+    import random
+
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import compact_store, vacuum_store
+    from metaprofi_spark.operators.bloom_update import next_sample_base
+
+    rng = random.Random(7)
+    path = str(tmp_path / "lifecycle")
+    base = docs.orderBy("doc_id").limit(400).collect()
+    batches = [base[i * 80:(i + 1) * 80] for i in range(5)]
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            [(i, r.text) for i, r in enumerate(rows)],
+            "doc_id long, text string",
+        )
+
+    api.build(spark, mkdf(batches[0]), CFG, path, sample_bucket_size=BUCKET)
+    # model: sample_idx -> text, plus the tombstoned set
+    model = {i: r.text for i, r in enumerate(batches[0])}
+    deleted: set[int] = set()
+    next_batch = 1
+    n_samples = len(batches[0])
+
+    def check():
+        # probe three random live samples + (if any) one deleted one
+        live = [i for i in model if i not in deleted]
+        probes = rng.sample(live, min(3, len(live)))
+        for sid in probes:
+            q = [("q", model[sid][: 5 * CFG.k])]
+            got = {r.sample_idx for r in api.query(spark, path, q).collect()}
+            assert sid in got, f"live sample {sid} missing"
+            assert not (got & deleted), f"tombstoned ids leaked: {got & deleted}"
+
+    ops = ["update", "delete", "compact", "delete", "update", "vacuum",
+           "delete", "compact", "update", "vacuum"]
+    for op in ops:
+        if op == "update" and next_batch < len(batches):
+            rows = batches[next_batch]
+            m = api.update(spark, path, mkdf(rows), CFG)
+            base_idx = next_sample_base(n_samples, BUCKET)
+            for i, r in enumerate(rows):
+                model[base_idx + i] = r.text
+            n_samples = m["n_samples"]
+            assert n_samples == base_idx + len(rows)
+            next_batch += 1
+        elif op == "delete":
+            live = sorted(i for i in model if i not in deleted)
+            victim = rng.choice(live)
+            api.delete(spark, path, sample_ids=[victim])
+            deleted.add(victim)
+        elif op == "compact":
+            m = compact_store(spark, path)
+            assert len(m["segments"]) == 1
+        elif op == "vacuum":
+            vacuum_store(path)
+        check()
+    assert deleted and next_batch == 4  # 3 updates + 3 deletes + 2 compacts + 2 vacuums ran
