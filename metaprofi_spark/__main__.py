@@ -121,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--snapshot", type=int, required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "delete" and not (args.sample_ids or args.sample_names):
+        # argparse usage error, not api.delete's ValueError traceback
+        d.error("one of --sample-ids / --sample-names is required")
 
     from pyspark.sql import SparkSession
 

@@ -397,7 +397,12 @@ def persist_index(
         would otherwise time-travel to the OLD generation's leftover
         segment dirs); a crash in the window loses only history, never
         current-state consistency;
-      * old segment dirs become orphans, reclaimable via vacuum_store.
+      * old segment dirs become orphans, reclaimable via vacuum_store;
+      * the exactly-once ledger SURVIVES the rebuild: committed_segments
+        unions the old generation's names and the u/c/d counters carry
+        forward, so an at-least-once caller replaying a pre-rebuild
+        named segment stays a no-op and a fresh auto-named update never
+        collides with an old committed name (r4 advice).
 
     Any other ``mode`` into an EXISTING store is refused: appending
     rows into a live segment under old snapshots is exactly the
@@ -451,8 +456,30 @@ def persist_index(
         )
         if fail_before_commit:
             raise RuntimeError("injected crash between rebuild write and commit")
+        new = _manifest(seg, gen)
+        # The ledger must never forget (r4 advice): an at-least-once
+        # caller (e.g. a streaming checkpoint) replaying a segment name
+        # it committed BEFORE the rebuild must stay a no-op after it,
+        # and a fresh auto-named update must not collide with — and be
+        # silently skipped by — an old committed u{k}.  So
+        # committed_segments is the UNION of everything the old
+        # generation ever committed, and the name counters carry
+        # forward (rollback_store's rule; names can't collide with the
+        # new chain because b{N} is generation-suffixed and u{k}/c*/d*
+        # continue from the carried counters).
+        from metaprofi_spark.plans.lineage import read_lineage
+
+        new["committed_segments"] = sorted(
+            {seg}
+            | set(old.get("committed_segments") or [])
+            | set(old.get("segments") or [])
+            | set(read_lineage(path).get("updates", {}))
+        )
+        for key in ("update_count", "compactions", "delete_count"):
+            if int(old.get(key, 0)):
+                new[key] = int(old.get(key, 0))
         shutil.rmtree(os.path.join(path, "snapshots"), ignore_errors=True)
-        _write_manifest(path, _manifest(seg, gen), reset_chain=True)
+        _write_manifest(path, new, reset_chain=True)
 
 
 def store_summary(spark: SparkSession, path: str) -> dict:

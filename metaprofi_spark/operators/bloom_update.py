@@ -403,10 +403,14 @@ def vacuum_store(path: str) -> list[str]:
                 removed.append(d[len("seg="):])
         # orphan tombstone files (crash between write and commit, or a
         # rebuild's previous generation): same rule — anything not in
-        # the committed list is invisible to readers and reclaimable.
-        # Committed tombstones are append-only, so every snapshot's
-        # list is a prefix of the current one; nothing a live snapshot
-        # references is ever removed here.
+        # the committed list is invisible to CURRENT readers and
+        # reclaimable.  Note tombstone lists are NOT strictly
+        # prefix-ordered across history: rollback_store restores an
+        # older (shorter) list, so rolled-past snapshots may reference
+        # extra tombstones this pass deletes — those snapshots are then
+        # expired by the check below, exactly as for segments (r4
+        # advice: an earlier comment claimed a prefix invariant that
+        # rollback breaks).
         tomb_dir = os.path.join(path, "tombstones")
         if os.path.isdir(tomb_dir):
             live_tombs = set(manifest.get("tombstones", []))

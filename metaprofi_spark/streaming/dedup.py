@@ -24,13 +24,16 @@ for bounded backfills, documented trade).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from metaprofi_spark.functions.text import fingerprint
 
 _FP = "__fp"
+_SIG_BUCKETS = 64  # band_hash % P partition dirs in the compacted layout
 
 
 def stream_drop_exact_duplicates(
@@ -61,6 +64,196 @@ def stream_drop_exact_duplicates(
     return fp.drop(_FP)
 
 
+def _batches_dir(sig_store: str) -> str:
+    return os.path.join(sig_store, "batches")
+
+
+def _committed_batch_dirs(
+    sig_store: str, before_batch: int | None = None
+) -> list[tuple[int, str]]:
+    """(batch_id, dir) of COMMITTED per-batch signature dirs — only
+    dirs carrying Spark's ``_SUCCESS`` marker, optionally restricted to
+    ``batch < before_batch``.  Listing committed dirs explicitly (and
+    never globbing ``batch=*``) means a crashed prior attempt's torn,
+    _SUCCESS-less partition is never touched by schema inference — the
+    r4-advice failure mode where one torn footer broke every retry."""
+    bdir = _batches_dir(sig_store)
+    out: list[tuple[int, str]] = []
+    if not os.path.isdir(bdir):
+        return out
+    for e in sorted(os.listdir(bdir)):
+        if not e.startswith("batch="):
+            continue
+        try:
+            n = int(e.split("=", 1)[1])
+        except ValueError:
+            continue
+        if before_batch is not None and n >= before_batch:
+            continue
+        d = os.path.join(bdir, e)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append((n, d))
+    return out
+
+
+def _read_sig_manifest(sig_store: str) -> dict | None:
+    try:
+        with open(os.path.join(sig_store, "sig_manifest.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_sig_manifest(sig_store: str, man: dict) -> None:
+    p = os.path.join(sig_store, "sig_manifest.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(man, f, indent=2, sort_keys=True)
+    os.replace(p + ".tmp", p)  # atomic commit (POSIX rename)
+
+
+def read_signature_history(
+    spark: SparkSession,
+    sig_store: str,
+    batch_id: int,
+    buckets: list[int] | None = None,
+) -> DataFrame | None:
+    """DataFrame(id, band_id, band_hash) of every signature committed
+    BEFORE ``batch_id``, or None when there is no history.
+
+    Two tiers, unioned:
+
+    * recent per-batch dirs (``batches/batch=N`` with ``_SUCCESS``,
+      N < batch_id, not yet folded) — read by EXPLICIT path list, so an
+      in-flight or torn partition is never scanned;
+    * the compacted layout (``gen_K/bucket=B`` dirs listed in
+      sig_manifest.json) — partitioned by ``band_hash % n_buckets``;
+      passing the probing batch's ``buckets`` prunes the scan to those
+      partition dirs (PartitionFilters, pinned by plan test), so a
+      micro-batch pays for the history it can actually collide with,
+      not all of it.  Rows keep their ``batch`` column through
+      compaction, so the ``batch < batch_id`` retry invariant holds
+      even for folded batches.
+    """
+    man = _read_sig_manifest(sig_store)
+    folded = set(man["folded_batches"]) if man else set()
+    parts: list[DataFrame] = []
+    dirs = [
+        d for n, d in _committed_batch_dirs(sig_store, batch_id)
+        if n not in folded
+    ]
+    if dirs:
+        parts.append(
+            spark.read.option("basePath", _batches_dir(sig_store))
+            .parquet(*dirs)
+            .select("id", "band_id", "band_hash")
+        )
+    for g in (man["generations"] if man else []):
+        gdf = spark.read.parquet(os.path.join(sig_store, g)).filter(
+            F.col("batch") < batch_id
+        )
+        if buckets is not None:
+            gdf = gdf.filter(
+                F.col("bucket").isin([int(x) for x in buckets])
+            )
+        parts.append(gdf.select("id", "band_id", "band_hash"))
+    if not parts:
+        return None
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    return df
+
+
+def compact_sig_store(
+    spark: SparkSession,
+    sig_store: str,
+    n_buckets: int = _SIG_BUCKETS,
+    full: bool = False,
+) -> dict:
+    """Fold committed per-batch signature dirs into a bucketed
+    generation (``gen_K/bucket=band_hash%P``) so per-batch history
+    joins prune instead of shuffling all history — the LSM/Iceberg
+    rewrite-data-files step for the signature store (reference analog:
+    the two-phase fetch/share scratch store, search_index.py:312-351 —
+    fetch each slice once, not all).
+
+    Incremental by default (cost = O(new batches), generations
+    accumulate); ``full=True`` also rewrites existing generations into
+    one.  Crash-safe: the generation dir is written first, the manifest
+    rename is the commit, and folded batch dirs / superseded gens are
+    reclaimed only after it — a crash anywhere re-converges because
+    this function first removes dirs the manifest already marks folded
+    or no longer lists.  ``n_buckets`` is sticky: the first compaction
+    fixes it for the store's life (mixed bucketing would break
+    pruning)."""
+    man = _read_sig_manifest(sig_store) or {
+        "format": 1,
+        "n_buckets": int(n_buckets),
+        "generations": [],
+        "gen_counter": 0,
+        "folded_batches": [],
+    }
+    n_buckets = int(man["n_buckets"])
+    folded = set(man["folded_batches"])
+    # convergent cleanup of a prior crash: anything the committed
+    # manifest marks folded, or a gen dir it doesn't list, is invisible
+    # to readers and reclaimable
+    for n, d in _committed_batch_dirs(sig_store):
+        if n in folded:
+            shutil.rmtree(d, ignore_errors=True)
+    live = set(man["generations"])
+    if os.path.isdir(sig_store):
+        for e in os.listdir(sig_store):
+            if e.startswith("gen_") and e not in live:
+                shutil.rmtree(os.path.join(sig_store, e), ignore_errors=True)
+    fresh = [
+        (n, d) for n, d in _committed_batch_dirs(sig_store)
+        if n not in folded
+    ]
+    gens_to_fold = list(man["generations"]) if full else []
+    if not fresh and not gens_to_fold:
+        return man
+    srcs: list[DataFrame] = []
+    if fresh:
+        srcs.append(
+            spark.read.option("basePath", _batches_dir(sig_store))
+            .parquet(*[d for _, d in fresh])
+            .select("batch", "id", "band_id", "band_hash")
+        )
+    for g in gens_to_fold:
+        srcs.append(
+            spark.read.parquet(os.path.join(sig_store, g))
+            .select("batch", "id", "band_id", "band_hash")
+        )
+    df = srcs[0]
+    for extra in srcs[1:]:
+        df = df.unionByName(extra)
+    gen = int(man["gen_counter"]) + 1
+    gname = f"gen_{gen}"
+    (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(sig_store, gname))
+    )
+    man2 = dict(
+        man,
+        gen_counter=gen,
+        generations=([] if full else list(man["generations"])) + [gname],
+        folded_batches=sorted(folded | {n for n, _ in fresh}),
+    )
+    _write_sig_manifest(sig_store, man2)
+    for n, d in fresh:
+        shutil.rmtree(d, ignore_errors=True)
+    for g in gens_to_fold:
+        shutil.rmtree(os.path.join(sig_store, g), ignore_errors=True)
+    return man2
+
+
 def foreach_batch_near_dedup(
     sig_store: str,
     out_dir: str,
@@ -68,29 +261,40 @@ def foreach_batch_near_dedup(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 8,
+    n_buckets: int = _SIG_BUCKETS,
 ):
     """foreachBatch callback: MinHash near-dup dedup of a document
     stream against everything seen before — the streaming twin of
     operators/dedup.drop_near_duplicates, with the LSH signature state
     in a PARQUET STORE instead of executor memory (the only shape that
     survives an unbounded crawl: state is ~b longs per doc, readable by
-    any later job, and partition-pruned per micro-batch).
+    any later job, and pruned per micro-batch).
 
     Per micro-batch:
 
     1. band signatures of the batch (`minhash_bands` — the same
        Arrow-buffer kernel as batch dedup);
-    2. drop docs sharing ANY band bucket with a PREVIOUS batch
-       (left_anti against the store, partition-filtered to
-       batch < current — so a retry never collides with its own
-       half-written signatures);
+    2. drop docs sharing ANY band bucket with a PREVIOUS batch: the
+       history side (`read_signature_history`) is partition-PRUNED to
+       the batch's own `band_hash % P` buckets and probed with two
+       BROADCAST semi-joins (batch keys → matched keys → batch ids),
+       so history is never shuffled — per-batch cost is
+       O(history ∩ batch buckets), not O(history), the r4 fix for the
+       O(N²)-cumulative unbucketed join;
     3. within-batch: the exact batch operator (`drop_near_duplicates`:
        connected components, min-id representative) over the survivors
        — a single-batch stream is therefore IDENTICAL to the batch
        pipeline (pinned by test);
-    4. append the batch's signatures (`batch=N` partition) and write
-       the kept docs (`out/batch=N`) — both mode=overwrite into
-       per-batch dirs, so at-least-once retries are idempotent.
+    4. write the kept docs (`out/batch=N`) and the batch's signatures
+       (`batches/batch=N`) — both mode=overwrite into per-batch dirs,
+       so at-least-once retries are idempotent; history reads list only
+       `_SUCCESS`-committed dirs with `batch < current`, so a retry
+       never collides with its own (possibly torn) signatures;
+    5. every ``compact_every`` committed batches, fold them into the
+       bucketed layout (`compact_sig_store`) — the amortized LSM
+       maintenance step that keeps (2) pruned.  ``None`` disables
+       auto-compaction (call it from a maintenance job instead).
 
     Invariant pinned by test: no kept doc shares a band bucket with any
     doc of an earlier batch, and within a batch the kept set equals the
@@ -103,15 +307,34 @@ def foreach_batch_near_dedup(
             return
         spark = batch_df.sparkSession
         b = minhash_bands(batch_df, n_perm, bands, id_col, text_col)
+        man = _read_sig_manifest(sig_store)
+        nb = int(man["n_buckets"]) if man else n_buckets
+        buckets = None
+        if man and man["generations"]:
+            # bounded collect: ≤ n_buckets ints, the partition-pruning
+            # predicate for the compacted history (IVF-store pattern)
+            buckets = [
+                int(r[0])
+                for r in b.select(
+                    F.pmod(F.col("band_hash"), F.lit(nb))
+                    .cast("int")
+                    .alias("bk")
+                ).distinct().collect()
+            ]
         survivors = batch_df
-        if os.path.isdir(sig_store) and any(
-            e.startswith("batch=") for e in os.listdir(sig_store)
-        ):
-            prev = spark.read.option("basePath", sig_store).parquet(
-                sig_store + "/batch=*"
-            ).filter(F.col("batch") < batch_id)
+        hist = read_signature_history(spark, sig_store, batch_id, buckets)
+        if hist is not None:
+            # micro-batches are trigger-bounded → their key set is the
+            # broadcast side; the (big) history side streams through
+            # both semi-joins without a shuffle
+            bkeys = b.select("band_id", "band_hash").distinct()
+            hit_keys = (
+                hist.join(F.broadcast(bkeys), ["band_id", "band_hash"], "left_semi")
+                .select("band_id", "band_hash")
+                .distinct()
+            )
             hit = (
-                b.join(prev, ["band_id", "band_hash"], "left_semi")
+                b.join(F.broadcast(hit_keys), ["band_id", "band_hash"], "left_semi")
                 .select(F.col("id").alias(id_col))
                 .distinct()
             )
@@ -121,8 +344,16 @@ def foreach_batch_near_dedup(
             os.path.join(out_dir, f"batch={batch_id}")
         )
         b.write.mode("overwrite").parquet(
-            os.path.join(sig_store, f"batch={batch_id}")
+            os.path.join(_batches_dir(sig_store), f"batch={batch_id}")
         )
+        if compact_every:
+            folded = set(man["folded_batches"]) if man else set()
+            unfolded = [
+                n for n, _ in _committed_batch_dirs(sig_store)
+                if n not in folded
+            ]
+            if len(unfolded) >= compact_every:
+                compact_sig_store(spark, sig_store, n_buckets=nb)
 
     return fn
 

@@ -426,3 +426,77 @@ def test_streaming_near_dedup_multi_batch_invariants(spark, tmp_path):
     fn(d1, 1)
     after = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=1").collect())
     assert after == before and after
+
+
+def test_streaming_near_dedup_compaction_equivalence(spark, tmp_path):
+    """Folding batch dirs into the bucketed layout must not change
+    results: same kept sets with compaction forced every batch as with
+    it disabled; a replay of a FOLDED batch is still idempotent (rows
+    keep their batch column through folding); a full rewrite collapses
+    generations without changing history."""
+    from metaprofi_spark.streaming.dedup import (
+        _read_sig_manifest,
+        compact_sig_store,
+        foreach_batch_near_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [docs.filter((F.col("doc_id") % 3) == i) for i in range(3)]
+    results = {}
+    for tag, ce in (("c", 1), ("n", None)):
+        sigs, out = str(tmp_path / f"sigs_{tag}"), str(tmp_path / f"out_{tag}")
+        fn = foreach_batch_near_dedup(sigs, out, compact_every=ce)
+        for i, bdf in enumerate(batches):
+            fn(bdf, i)
+        results[tag] = {
+            i: sorted(
+                r.doc_id
+                for r in spark.read.parquet(out + f"/batch={i}").collect()
+            )
+            for i in range(3)
+        }
+    assert results["c"] == results["n"]
+    sigs, out = str(tmp_path / "sigs_c"), str(tmp_path / "out_c")
+    man = _read_sig_manifest(sigs)
+    assert man and set(man["folded_batches"]) >= {0, 1}
+    # replay of a folded batch: idempotent
+    fn = foreach_batch_near_dedup(sigs, out, compact_every=1)
+    fn(batches[1], 1)
+    after = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/batch=1").collect()
+    )
+    assert after == results["c"][1] and after
+    # full rewrite: one generation, history unchanged for a batch-2 replay
+    compact_sig_store(spark, sigs, full=True)
+    man2 = _read_sig_manifest(sigs)
+    assert man2 and len(man2["generations"]) == 1
+    fn(batches[2], 2)
+    after2 = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/batch=2").collect()
+    )
+    assert after2 == results["c"][2]
+
+
+def test_streaming_near_dedup_history_scan_prunes_buckets(spark, tmp_path):
+    """The compacted history read prunes to the probing batch's bucket
+    partitions (PartitionFilters on `bucket`) — per-batch history cost
+    is O(colliding buckets), not O(all history), the r4 scale fix."""
+    from metaprofi_spark.streaming.dedup import (
+        compact_sig_store,
+        foreach_batch_near_dedup,
+        read_signature_history,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    fn = foreach_batch_near_dedup(sigs, out, compact_every=None)
+    fn(docs, 0)
+    compact_sig_store(spark, sigs, n_buckets=8)
+    hist = read_signature_history(spark, sigs, 1, buckets=[0, 3])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert 0 < hist.count() < docs.count() * 16  # strictly pruned

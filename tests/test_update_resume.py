@@ -1250,3 +1250,53 @@ def test_store_lifecycle_random_sequence_matches_model(spark, docs, tmp_path):
             vacuum_store(path)
         check()
     assert deleted and next_batch == 4  # 3 updates + 3 deletes + 2 compacts + 2 vacuums ran
+
+
+def test_rebuild_carries_exactly_once_ledger(spark, docs, tmp_path):
+    """r4 advice: a rebuild (persist_index overwrite into an existing
+    store) must not forget the exactly-once ledger — an at-least-once
+    caller replaying a pre-rebuild NAMED segment stays a no-op, and a
+    fresh auto-named update continues the u{k} counter instead of
+    colliding with (and being silently skipped by) an old committed
+    name."""
+    import json
+
+    path = str(tmp_path / "rebuild_ledger")
+    first = docs.filter(F.col("doc_id") < BUCKET)
+    idx = build_index(build_matrix(first, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(idx, path, CFG, n_samples=BUCKET, sample_bucket_size=BUCKET)
+    rest = docs.filter(F.col("doc_id") >= BUCKET).withColumn(
+        "doc_id", F.col("doc_id") - BUCKET
+    )
+    # one auto-named (u1) and one stream-named segment, both committed
+    update_store(spark, path, rest, CFG, BUCKET)
+    update_store(spark, path, rest, CFG, BUCKET, segment_name="stream_b7")
+    # rebuild the store over the full corpus
+    full = build_index(build_matrix(docs, CFG), CFG, sample_bucket_size=BUCKET)
+    persist_index(
+        full, path, CFG, n_samples=docs.count(), sample_bucket_size=BUCKET
+    )
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["segments"] == ["b1"]
+    assert {"u0", "u1", "stream_b7", "b1"} <= set(man["committed_segments"])
+    assert man["update_count"] == 2  # counter carried forward
+    n0 = man["n_samples"]
+    # replaying the pre-rebuild named segment: exactly-once no-op
+    m2 = update_store(spark, path, rest, CFG, BUCKET, segment_name="stream_b7")
+    assert m2["n_samples"] == n0 and m2["segments"] == ["b1"]
+    # a fresh auto-named update appends as u3 (never the committed u1)
+    m3 = update_store(spark, path, rest, CFG, BUCKET)
+    assert m3["segments"] == ["b1", "u3"]
+    assert m3["n_samples"] > n0
+
+
+def test_cli_delete_without_selector_is_usage_error():
+    """r4 advice: `delete` with neither --sample-ids nor --sample-names
+    must exit as an argparse usage error (SystemExit 2) before any
+    Spark work, not reach api.delete's ValueError traceback."""
+    from metaprofi_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["delete", "--store", "/nonexistent"])
+    assert e.value.code == 2
