@@ -835,13 +835,48 @@ FROM t
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Float quality heuristic (no oracle — float expression trees are
-    engine-specific; components are oracle-checked via text_stats)."""
+    """Quality heuristic quantized to integer micro-units
+    (round(score*1e6) as long) so the gate can hash-compare it exactly
+    — the pricing_summary/repetition_stats trick (r4 verdict item 3).
+    Both engines evaluate the identical f64 expression tree
+    (left-assoc sums, same literals), so the doubles are bit-identical
+    and round() ties (HALF_UP vs ties-away) agree for positives."""
     from metaprofi_spark.functions.text import quality_score
 
     return _docs(spark, sf_dir).select(
-        "doc_id", quality_score(F.col("text")).alias("quality")
+        "doc_id",
+        F.round(quality_score(F.col("text")).cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("q_micro"),
     )
+
+
+# mirrors quality_score(text) term by term: len_score = least(nt/100,1);
+# punct_pen = 1 - least(5*punct_ratio,1); stop_score = least(4*stop_ratio,1);
+# quality = ((ls + pp) + ss)/3 — same association order as Spark
+QUALITY_SCORES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(ltoks) AS DOUBLE) AS nt,
+         CAST(length(text) AS DOUBLE) AS l,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS np,
+         CAST(len(list_filter(ltoks,
+              x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+              AS DOUBLE) AS sh
+  FROM t
+)
+SELECT doc_id,
+       CAST(round((
+           least(nt / 100.0, 1.0)
+           + (1.0 - least((CASE WHEN l > 0 THEN np / l ELSE 0.0 END) * 5.0, 1.0))
+           + least((CASE WHEN nt > 0 THEN sh / nt ELSE 0.0 END) * 4.0, 1.0)
+       ) / 3.0 * 1000000.0) AS BIGINT) AS q_micro
+FROM c
+"""
 
 
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,9 +1441,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": MULTIMODAL_META_SQL,
         "tdigest_doclen_centiles": TDIGEST_DOCLEN_SQL,
         "docs_profile": DOCS_PROFILE_SQL,
+        "quality_scores": QUALITY_SCORES_SQL,
         "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
-        # no SQL oracle (estimates / probabilistic / float-tree / stub):
+        # no SQL oracle (estimates / probabilistic / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
-        # quality_scores, minhash_candidates, simhash_pairs, ann_lsh,
+        # minhash_candidates, simhash_pairs, ann_lsh,
         # multimodal_decode — bounds/properties asserted in tests/.
     }
