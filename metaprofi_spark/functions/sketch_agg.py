@@ -272,6 +272,9 @@ def kll_quantiles(
     schema = f"{gddl}, qp double, value double"
 
     def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas hands each GROUP as one frame, and kll_agg
+        # yields exactly one merged-sketch row per group — so this
+        # "loop" runs once per frame; no vectorization to be had
         rows = {c: [] for c in group_cols}
         rows["qp"], rows["value"] = [], []
         for _, r in pdf.iterrows():

@@ -109,6 +109,19 @@ def or_reduce(blobs, nbytes: int) -> bytes:
     return np.bitwise_or.reduce(_stack(blobs, nbytes), axis=0).tobytes()
 
 
+def apply_column_mask(blob: bytes, mask: np.ndarray) -> bytes:
+    """AND a per-slice sample-column mask across a packed slab.
+
+    A slab is k slices x len(mask) bytes (one bit per sample of the
+    bucket, little-endian); tiling the mask down the slice axis clears
+    the tombstoned samples' bit COLUMNS — the physical-reclaim step of
+    tombstone-aware compaction (Iceberg rewrite-data-files analog).
+    Zeroed columns then compress to almost nothing under zstd."""
+    a = np.frombuffer(blob, dtype=np.uint8)
+    w = mask.shape[0]
+    return (a.reshape(-1, w) & mask[None, :]).tobytes()
+
+
 def and_reduce(blobs, nbytes: int) -> bytes:
     """Bitwise-AND of packed buffers (query combine,
     /root/reference/metaprofi/lib/utilities.py:584-595)."""

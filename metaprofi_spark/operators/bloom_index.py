@@ -482,17 +482,41 @@ def persist_index(
         _write_manifest(path, new, reset_chain=True)
 
 
-def store_summary(spark: SparkSession, path: str) -> dict:
+def store_summary(
+    spark: SparkSession, path: str, count_set_bits: bool = False
+) -> dict:
     """A9 analog of get_summary_from_index_store
     (/root/reference/metaprofi/lib/utilities.py:598-638): manifest
     metadata + logical vs stored bytes (the compression ratio the
-    reference reports via nbytes / nbytes_stored)."""
+    reference reports via nbytes / nbytes_stored).
+
+    ``count_set_bits=True`` adds a ``set_bits`` popcount over every
+    slab — a full store scan through a Pandas UDF, so opt-in (it is how
+    the tombstone-reclaim test observes compaction zeroing deleted
+    columns)."""
     df, cfg, manifest = load_index(spark, path)
     agg = df.agg(
         F.count("*").alias("slabs"),
         F.sum(F.octet_length("bits")).alias("logical_bytes"),
         F.countDistinct("slice_bucket").alias("buckets"),
     ).first()
+    set_bits = None
+    if count_set_bits:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        # hint-less on purpose (future-annotations stringifies hints)
+        @pandas_udf("long")
+        def _pop(bits):
+            return pd.Series(
+                [
+                    int(np.unpackbits(np.frombuffer(b, dtype=np.uint8)).sum())
+                    for b in bits
+                ]
+            )
+
+        set_bits = int(df.select(F.sum(_pop("bits"))).first()[0] or 0)
     stored = 0
     idx_dir = os.path.join(path, "index")
     seg_dirs = [
@@ -508,7 +532,7 @@ def store_summary(spark: SparkSession, path: str) -> dict:
 
         tomb = load_tombstones(spark, path, manifest)
         n_tomb = tomb.count() if tomb is not None else 0
-    return {
+    out = {
         "config": json.loads(cfg.to_json()),
         "n_samples": manifest["n_samples"],
         "tombstoned_samples": n_tomb,
@@ -519,6 +543,9 @@ def store_summary(spark: SparkSession, path: str) -> dict:
         "stored_bytes": stored,
         "compression_ratio": round(logical / stored, 3) if stored else None,
     }
+    if set_bits is not None:
+        out["set_bits"] = set_bits
+    return out
 
 
 def load_index(

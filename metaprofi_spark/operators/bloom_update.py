@@ -337,6 +337,19 @@ def compact_store(spark: SparkSession, path: str) -> dict:
     manifest atomically — the maintenance op that keeps long-lived
     stores from accumulating per-update file sets.
 
+    TOMBSTONE-AWARE (r4 verdict item 7): the rewrite ANDs a per-bucket
+    column mask over the slabs of buckets holding tombstoned samples,
+    physically zeroing the deleted samples' bit columns (the Iceberg
+    rewrite-data-files analog — zeroed columns compress to ~nothing
+    under zstd, so the takedown reclaims space without a full rebuild).
+    The tombstone list STAYS in the manifest: the ids remain allocated
+    (n_samples is unchanged) and readers keep excluding them on the
+    result edge, so search results are identical before/after (a zeroed
+    column can only produce zero hits, and those rows were anti-joined
+    away already) — pinned by test.  Pre-compaction snapshots still
+    reference the OLD segments with the bits intact, so time travel and
+    rollback semantics are unchanged until vacuum expires them.
+
     Same crash-safety as update_store: the compacted segment name is
     deterministic from the manifest counters (idempotent retry via
     mode=overwrite), the commit is the atomic manifest rename, and a
@@ -347,15 +360,59 @@ def compact_store(spark: SparkSession, path: str) -> dict:
     Runs under :func:`store_lock`: the manifest is read AND swapped
     inside one critical section, so a concurrently committed update
     segment can't be dropped by this read-modify-write (lost update)."""
+    import numpy as np
+
     with store_lock(path):
         df, _cfg, manifest = load_index(spark, path)
         if not manifest.get("segments"):
             raise ValueError("compact_store requires a segmented (v2) store")
         old_segments = list(manifest["segments"])
         seg = f"c{manifest.get('update_count', 0)}_{manifest.get('compactions', 0)}"
+        out = df.select("range_id", "sample_bucket", "bits", "slice_bucket")
+        tomb = load_tombstones(spark, path, manifest)
+        if tomb is not None:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            from metaprofi_spark.kernels.bits import apply_column_mask
+
+            bucket_w = int(manifest["sample_bucket_size"])
+            w = bucket_w // 8
+            # takedown lists are result-edge small (the rare-delete
+            # trade documented in delete_samples) — a bounded collect
+            masks: dict[int, np.ndarray] = {}
+            for r in tomb.collect():
+                b, p = divmod(int(r.sample_idx), bucket_w)
+                m = masks.setdefault(b, np.full(w, 0xFF, dtype=np.uint8))
+                m[p >> 3] &= np.uint8(0xFF ^ (1 << (p & 7)))
+            bc = spark.sparkContext.broadcast(
+                {b: m.tobytes() for b, m in masks.items()}
+            )
+
+            # no type hints: `from __future__ import annotations` turns
+            # them into strings pyspark can't resolve here (pd is a
+            # local import); hint-less pandas_udf defaults to SCALAR
+            @pandas_udf("binary")
+            def _mask(bucket, bits):
+                mm = {
+                    b: np.frombuffer(m, dtype=np.uint8)
+                    for b, m in bc.value.items()
+                }
+                return pd.Series(
+                    [
+                        apply_column_mask(blob, mm[int(bkt)])
+                        for bkt, blob in zip(bucket, bits)
+                    ]
+                )
+
+            hit = sorted(masks)
+            touched = out.filter(F.col("sample_bucket").isin(hit)).withColumn(
+                "bits", _mask("sample_bucket", "bits")
+            )
+            rest = out.filter(~F.col("sample_bucket").isin(hit))
+            out = rest.unionByName(touched)
         (
-            df.select("range_id", "sample_bucket", "bits", "slice_bucket")
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("slice_bucket")
             .parquet(os.path.join(path, "index", f"seg={seg}"))
         )
@@ -478,7 +535,9 @@ def delete_samples(
     (api.query does this automatically).  Searches still SCAN the
     deleted samples' bits — cost of deletion is on the result edge, not
     the scan, which is the right trade for rare deletes; physical
-    reclaim = rebuild (persist_index overwrite) from the retained docs.
+    reclaim = :func:`compact_store` (zeroes the deleted columns in the
+    rewritten segment) or a full rebuild (persist_index overwrite) from
+    the retained docs.
     """
     import json
     import time

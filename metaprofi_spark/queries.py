@@ -932,6 +932,93 @@ def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(_docs(spark, sf_dir))
 
 
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gate row (r4 verdict item 5): the documents table is
+    replayed as a multi-micro-batch file stream (maxFilesPerTrigger=1
+    over 3 source files) and deduped with Structured Streaming state.
+
+    Two streams run under this row:
+
+    1. ``stream_drop_exact_duplicates`` (dropDuplicates state) — its
+       contract is asserted IN-QUERY so a violation errors the gate
+       row: the run must span >=2 non-empty micro-batches, keep at most
+       one survivor per fingerprint group, and the surviving
+       fingerprint set must equal the corpus's (arrival order decides
+       WHICH member survives, so that part is pytest-pinned, not
+       hashed).
+    2. a complete-mode streaming groupBy(fp) aggregation whose FINAL
+       result is deterministic — returned and hash-compared against the
+       same batch SQL oracle as ``fingerprint_groups``.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from metaprofi_spark.functions.text import fingerprint
+    from metaprofi_spark.streaming.dedup import stream_drop_exact_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def file_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    name_a = f"sdd_kept_{uuid.uuid4().hex[:8]}"
+    qa = (
+        stream_drop_exact_duplicates(file_stream())
+        .writeStream.format("memory")
+        .queryName(name_a)
+        .option("checkpointLocation", os.path.join(tmp, "ck_a"))
+        .outputMode("append")
+        .start()
+    )
+    qa.processAllAvailable()
+    n_batches = sum(1 for p in qa.recentProgress if p["numInputRows"] > 0)
+    qa.stop()
+    if n_batches < 2:
+        raise AssertionError(f"expected a multi-batch stream, got {n_batches}")
+    kept = spark.table(name_a).withColumn("fp", fingerprint(F.col("text")))
+    dup_fps = kept.groupBy("fp").count().filter(F.col("count") > 1).count()
+    if dup_fps:
+        raise AssertionError(
+            f"dropDuplicates kept >1 survivor for {dup_fps} fingerprint groups"
+        )
+    all_fps = docs.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    missing = all_fps.join(kept.select("fp"), "fp", "left_anti").count()
+    extra = kept.select("fp").join(all_fps, "fp", "left_anti").count()
+    if missing or extra:
+        raise AssertionError(
+            f"survivor fingerprint set mismatch: missing={missing} extra={extra}"
+        )
+
+    name_b = f"sdd_groups_{uuid.uuid4().hex[:8]}"
+    agg = (
+        file_stream()
+        .withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+    qb = (
+        agg.writeStream.format("memory")
+        .queryName(name_b)
+        .option("checkpointLocation", os.path.join(tmp, "ck_b"))
+        .outputMode("complete")
+        .start()
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    return spark.table(name_b)
+
+
 FINGERPRINT_SQL = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1382,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_update_search": bloom_update_search,
         "bloom_delete_search": bloom_delete_search,
         "fingerprint_groups": fingerprint_groups,
+        "stream_dedup_docs": stream_dedup_docs,
         "repetition_stats": repetition_stats_q,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
@@ -1426,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_update_search": BLOOM_SUBSTRING_SQL,
         "bloom_delete_search": BLOOM_DELETE_SQL,
         "fingerprint_groups": FINGERPRINT_SQL,
+        "stream_dedup_docs": FINGERPRINT_SQL,
         "repetition_stats": REPETITION_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "minhash_verified_pairs": ngram_jaccard_sql(JACCARD_TAU),

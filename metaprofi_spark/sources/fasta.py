@@ -107,9 +107,10 @@ def translate_six_frames_df(
     match regardless of strand/frame, the reference's protein-store
     workflow end-to-end.
 
-    Translation runs in an Arrow-batched pandas iterator (the codon
-    table is pure-python per FRAME, not per base — ~len/3 dict hits per
-    row, the same cost profile as the reference's translate loop).
+    Translation runs in an Arrow-batched pandas iterator over the
+    base-5 LUT kernel (kernels/bio.py translate: one vectorized numpy
+    gather per frame, no per-codon python — r4 replaced the earlier
+    per-frame dict loop).
     """
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F811

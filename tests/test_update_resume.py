@@ -1300,3 +1300,59 @@ def test_cli_delete_without_selector_is_usage_error():
     with pytest.raises(SystemExit) as e:
         main(["delete", "--store", "/nonexistent"])
     assert e.value.code == 2
+
+
+def test_compact_reclaims_tombstoned_bits(spark, docs, tmp_path):
+    """r4 verdict item 7: compaction physically zeroes tombstoned
+    samples' bit COLUMNS (set_bits strictly drops; the victim's column
+    reads all-zero in the compacted slabs) while search results through
+    api.query are identical before/after — the Iceberg
+    rewrite-data-files analog completing the takedown story."""
+    import numpy as np
+
+    from metaprofi_spark import api
+    from metaprofi_spark.operators import load_index, store_summary
+    from metaprofi_spark.operators.bloom_update import (
+        compact_store,
+        delete_samples,
+    )
+
+    path = str(tmp_path / "reclaim")
+    api.build(spark, docs.select("doc_id", "text"), CFG, path,
+              sample_bucket_size=BUCKET)
+    probe = docs.orderBy("doc_id").limit(3).collect()
+    queries = [(f"q{r.doc_id}", r.text[: 5 * CFG.k]) for r in probe]
+    victims = [int(probe[0].doc_id), 300]
+    delete_samples(spark, path, victims)
+    before = {
+        (r.query_id, r.sample_idx, r.kgram_hits)
+        for r in api.query(spark, path, queries, threshold=100, cfg=CFG).collect()
+    }
+    bits_before = store_summary(spark, path, count_set_bits=True)["set_bits"]
+    compact_store(spark, path)
+    summary = store_summary(spark, path, count_set_bits=True)
+    assert summary["set_bits"] < bits_before
+    assert summary["tombstoned_samples"] == len(victims)  # list survives
+    # the victim's column is all-zero across every compacted slab
+    df, _cfg, manifest = load_index(spark, path)
+    w = manifest["sample_bucket_size"] // 8
+    for v in victims:
+        bkt, pos = divmod(v, manifest["sample_bucket_size"])
+        col = 0
+        for r in df.filter(F.col("sample_bucket") == bkt).collect():
+            slab = np.frombuffer(bytes(r.bits), dtype=np.uint8).reshape(-1, w)
+            col |= int((slab[:, pos >> 3] >> (pos & 7) & 1).sum())
+        assert col == 0
+    # a non-deleted neighbour keeps its bits (the mask is surgical)
+    keep = int(probe[1].doc_id)
+    bkt, pos = divmod(keep, manifest["sample_bucket_size"])
+    alive = 0
+    for r in df.filter(F.col("sample_bucket") == bkt).collect():
+        slab = np.frombuffer(bytes(r.bits), dtype=np.uint8).reshape(-1, w)
+        alive += int((slab[:, pos >> 3] >> (pos & 7) & 1).sum())
+    assert alive > 0
+    after = {
+        (r.query_id, r.sample_idx, r.kgram_hits)
+        for r in api.query(spark, path, queries, threshold=100, cfg=CFG).collect()
+    }
+    assert after == before and after
