@@ -177,9 +177,18 @@ def compact_sig_store(
     the two-phase fetch/share scratch store, search_index.py:312-351 —
     fetch each slice once, not all).
 
-    Incremental by default (cost = O(new batches), generations
-    accumulate); ``full=True`` also rewrites existing generations into
-    one.  Crash-safe: the generation dir is written first, the manifest
+    Incremental fold (cost = O(new batches)) followed by SIZE-TIERED
+    generation merging: while the newest generation has grown to the
+    size of the one before it, the two merge into one, cascading — the
+    binary-counter LSM policy, keeping the generation count
+    <= log2(N)+1 and the cumulative rewrite work O(N log N) over an
+    unbounded crawl (a fixed-interval full rewrite would be O(N²),
+    and never merging would accumulate O(N) relations in the history
+    union).  Row counts come from parquet footers (metadata-only) and
+    are cached in the manifest.  ``full=True`` forces everything into
+    one generation.
+
+    Crash-safe: each generation dir is written first, the manifest
     rename is the commit, and folded batch dirs / superseded gens are
     reclaimed only after it — a crash anywhere re-converges because
     this function first removes dirs the manifest already marks folded
@@ -192,6 +201,7 @@ def compact_sig_store(
         "generations": [],
         "gen_counter": 0,
         "folded_batches": [],
+        "gen_rows": {},
     }
     n_buckets = int(man["n_buckets"])
     folded = set(man["folded_batches"])
@@ -210,48 +220,80 @@ def compact_sig_store(
         (n, d) for n, d in _committed_batch_dirs(sig_store)
         if n not in folded
     ]
-    gens_to_fold = list(man["generations"]) if full else []
-    if not fresh and not gens_to_fold:
+    if not fresh and not (full and len(man["generations"]) > 1):
         return man
-    srcs: list[DataFrame] = []
+
+    gen_counter = int(man["gen_counter"])
+    gens = list(man["generations"])
+    rows = {g: int(r) for g, r in (man.get("gen_rows") or {}).items()}
+
+    def footer_rows(g: str) -> int:  # parquet metadata-only count
+        if g not in rows:
+            rows[g] = spark.read.parquet(os.path.join(sig_store, g)).count()
+        return rows[g]
+
+    def write_gen(df: DataFrame, n_rows: int | None, new_gens: list[str],
+                  drop_batches: list[tuple[int, str]],
+                  drop_gens: list[str]) -> str:
+        nonlocal gen_counter, gens
+        gen_counter += 1
+        gname = f"gen_{gen_counter}"
+        (
+            df.withColumn(
+                "bucket",
+                F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(sig_store, gname))
+        )
+        gens = new_gens + [gname]
+        if n_rows is None:
+            n_rows = spark.read.parquet(
+                os.path.join(sig_store, gname)
+            ).count()  # footer-only
+        rows[gname] = int(n_rows)
+        man.update(
+            gen_counter=gen_counter,
+            generations=gens,
+            folded_batches=sorted(
+                set(man["folded_batches"]) | {n for n, _ in drop_batches}
+            ),
+            gen_rows={g: rows[g] for g in gens},
+        )
+        _write_sig_manifest(sig_store, man)  # atomic commit
+        for _, d in drop_batches:
+            shutil.rmtree(d, ignore_errors=True)
+        for g in drop_gens:
+            shutil.rmtree(os.path.join(sig_store, g), ignore_errors=True)
+        return gname
+
+    cols = ["batch", "id", "band_id", "band_hash"]
     if fresh:
-        srcs.append(
+        fresh_df = (
             spark.read.option("basePath", _batches_dir(sig_store))
             .parquet(*[d for _, d in fresh])
-            .select("batch", "id", "band_id", "band_hash")
+            .select(*cols)
         )
-    for g in gens_to_fold:
-        srcs.append(
-            spark.read.parquet(os.path.join(sig_store, g))
-            .select("batch", "id", "band_id", "band_hash")
+        write_gen(fresh_df, None, gens, fresh, [])
+    # size-tiered cascade (binary-counter policy: merge while the
+    # newest generation has grown to the size of the one before it —
+    # equal-size incoming batches then behave like binary increments,
+    # giving <= log2(N)+1 generations and O(N log N) cumulative work);
+    # full=True merges unconditionally down to one
+    while len(gens) >= 2 and (
+        full or footer_rows(gens[-1]) >= footer_rows(gens[-2])
+    ):
+        a, b = gens[-2], gens[-1]
+        merged = (
+            spark.read.parquet(os.path.join(sig_store, a)).select(*cols)
+            .unionByName(
+                spark.read.parquet(os.path.join(sig_store, b)).select(*cols)
+            )
         )
-    df = srcs[0]
-    for extra in srcs[1:]:
-        df = df.unionByName(extra)
-    gen = int(man["gen_counter"]) + 1
-    gname = f"gen_{gen}"
-    (
-        df.withColumn(
-            "bucket",
-            F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"),
-        )
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(sig_store, gname))
-    )
-    man2 = dict(
-        man,
-        gen_counter=gen,
-        generations=([] if full else list(man["generations"])) + [gname],
-        folded_batches=sorted(folded | {n for n, _ in fresh}),
-    )
-    _write_sig_manifest(sig_store, man2)
-    for n, d in fresh:
-        shutil.rmtree(d, ignore_errors=True)
-    for g in gens_to_fold:
-        shutil.rmtree(os.path.join(sig_store, g), ignore_errors=True)
-    return man2
+        write_gen(merged, footer_rows(a) + footer_rows(b), gens[:-2], [], [a, b])
+    return man
 
 
 def foreach_batch_near_dedup(
@@ -367,6 +409,8 @@ def stream_drop_near_duplicates(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 8,
+    n_buckets: int = _SIG_BUCKETS,
 ):
     """Wire a document stream through MinHash near-dup dedup; kept docs
     land under ``out_dir/batch=N``.  Returns the StreamingQuery."""
@@ -375,7 +419,8 @@ def stream_drop_near_duplicates(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             foreach_batch_near_dedup(
-                sig_store, out_dir, n_perm, bands, id_col, text_col
+                sig_store, out_dir, n_perm, bands, id_col, text_col,
+                compact_every=compact_every, n_buckets=n_buckets,
             )
         )
         .start()

@@ -500,3 +500,41 @@ def test_streaming_near_dedup_history_scan_prunes_buckets(spark, tmp_path):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     assert 0 < hist.count() < docs.count() * 16  # strictly pruned
+
+
+def test_sig_store_tiered_merge_bounds_generations(spark, tmp_path):
+    """Size-tiered generation merging (binary-counter LSM policy):
+    folding many equal-size batches one at a time keeps the generation
+    count logarithmic — not one per fold — and never loses or
+    duplicates a signature row."""
+    from metaprofi_spark.operators.dedup import minhash_bands
+    from metaprofi_spark.streaming.dedup import (
+        _read_sig_manifest,
+        compact_sig_store,
+        read_signature_history,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = str(tmp_path / "sigs")
+    total = 0
+    n_batches = 6
+    for i in range(n_batches):
+        part = docs.filter((F.col("doc_id") % n_batches) == i)
+        b = minhash_bands(part)
+        b.write.mode("overwrite").parquet(
+            os.path.join(sigs, "batches", f"batch={i}")
+        )
+        total += b.count()
+        compact_sig_store(spark, sigs, n_buckets=8)
+    man = _read_sig_manifest(sigs)
+    assert len(man["generations"]) <= 3, man["generations"]  # ~log2(6)
+    assert sum(man["gen_rows"].values()) == total
+    hist = read_signature_history(spark, sigs, batch_id=n_batches)
+    assert hist.count() == total
+    # per-batch retry invariant survives every merge: rows of batch 3+
+    # are invisible to a replay of batch 3
+    h3 = read_signature_history(spark, sigs, batch_id=3)
+    b3 = minhash_bands(docs.filter((F.col("doc_id") % n_batches) < 3))
+    assert h3.count() == b3.count()
