@@ -538,3 +538,76 @@ def test_sig_store_tiered_merge_bounds_generations(spark, tmp_path):
     h3 = read_signature_history(spark, sigs, batch_id=3)
     b3 = minhash_bands(docs.filter((F.col("doc_id") % n_batches) < 3))
     assert h3.count() == b3.count()
+
+
+def test_sig_store_random_sequence_matches_model(spark, tmp_path):
+    """Model-based interaction test for the LSM signature store: a
+    fixed-seed random sequence of {fold new batch, replay a committed
+    batch (same content, the at-least-once contract), incremental
+    compact, full compact} against a driver-side model dict.  After
+    every op, read_signature_history at several batch horizons must
+    equal the model's union EXACTLY — catches fold/merge/replay
+    interactions (e.g. replaying a batch already folded through a
+    tiered cascade) that no single-op test sees."""
+    import random
+
+    from metaprofi_spark.streaming.dedup import (
+        _read_sig_manifest,
+        compact_sig_store,
+        read_signature_history,
+    )
+
+    rng = random.Random(11)
+    sigs = str(tmp_path / "sigs")
+    model = {}
+
+    def write_batch(b, rows=None):
+        if rows is None:
+            rows = [
+                (
+                    rng.randrange(10**6),
+                    rng.randrange(4),
+                    rng.randrange(-(2**40), 2**40),
+                )
+                for _ in range(rng.randrange(5, 40))
+            ]
+        spark.createDataFrame(
+            rows, "id long, band_id int, band_hash long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sigs, "batches", f"batch={b}")
+        )
+        model[b] = rows
+
+    def check():
+        for horizon in sorted({1, 3, max(model) + 1}):
+            want = sorted(
+                r for b, rows in model.items() if b < horizon for r in rows
+            )
+            hist = read_signature_history(spark, sigs, horizon)
+            got = (
+                sorted((r.id, r.band_id, r.band_hash) for r in hist.collect())
+                if hist is not None
+                else []
+            )
+            assert got == want, f"horizon {horizon}: {len(got)} vs {len(want)}"
+
+    next_b = 0
+    compactions = 0
+    for _ in range(14):
+        op = rng.choice(["new", "new", "replay", "compact", "full"])
+        if op == "new" or not model:
+            write_batch(next_b)
+            next_b += 1
+        elif op == "replay":
+            b = rng.randrange(next_b)
+            write_batch(b, rows=model[b])
+        elif op == "compact":
+            compact_sig_store(spark, sigs, n_buckets=4)
+            compactions += 1
+        else:
+            compact_sig_store(spark, sigs, n_buckets=4, full=True)
+            compactions += 1
+        check()
+    assert compactions and next_b >= 4
+    man = _read_sig_manifest(sigs)
+    assert man and man["generations"]
