@@ -116,9 +116,11 @@ def read_signature_history(
     sig_store: str,
     batch_id: int,
     buckets: list[int] | None = None,
+    min_batch: int | None = None,
 ) -> DataFrame | None:
     """DataFrame(id, band_id, band_hash) of every signature committed
-    BEFORE ``batch_id``, or None when there is no history.
+    BEFORE ``batch_id`` (and at/after ``min_batch``, if given), or None
+    when there is no history.
 
     Two tiers, unioned:
 
@@ -128,18 +130,29 @@ def read_signature_history(
     * the compacted layout (``gen_K/bucket=B`` dirs listed in
       sig_manifest.json) — partitioned by ``band_hash % n_buckets``;
       passing the probing batch's ``buckets`` prunes the scan to those
-      partition dirs (PartitionFilters, pinned by plan test), so a
-      micro-batch pays for the history it can actually collide with,
-      not all of it.  Rows keep their ``batch`` column through
-      compaction, so the ``batch < batch_id`` retry invariant holds
-      even for folded batches.
+      partition dirs (PartitionFilters, pinned by plan test).  Rows
+      keep their ``batch`` column through compaction, so the
+      ``batch < batch_id`` retry invariant holds even for folded
+      batches.
+
+    ``min_batch`` is the RECENCY WINDOW bound (the near-dup analog of
+    dropDuplicatesWithinWatermark): generations whose recorded batch
+    range (``gen_ranges``) lies wholly before it are skipped without
+    touching a file, straggling rows are filtered on the ``batch``
+    column, and anything before the store's committed
+    ``expired_before`` mark is excluded unconditionally.  This is what
+    bounds per-batch probe cost on an unbounded crawl — bucket pruning
+    alone cannot (a large batch touches every bucket).
     """
     man = _read_sig_manifest(sig_store)
     folded = set(man["folded_batches"]) if man else set()
+    lo = max(
+        int(min_batch or 0), int(man.get("expired_before", 0)) if man else 0
+    )
     parts: list[DataFrame] = []
     dirs = [
         d for n, d in _committed_batch_dirs(sig_store, batch_id)
-        if n not in folded
+        if n not in folded and n >= lo
     ]
     if dirs:
         parts.append(
@@ -147,10 +160,16 @@ def read_signature_history(
             .parquet(*dirs)
             .select("id", "band_id", "band_hash")
         )
+    ranges = (man.get("gen_ranges") or {}) if man else {}
     for g in (man["generations"] if man else []):
+        g_lo, g_hi = ranges.get(g, (0, None))
+        if g_hi is not None and g_hi < lo:
+            continue  # generation wholly outside the window: zero IO
         gdf = spark.read.parquet(os.path.join(sig_store, g)).filter(
             F.col("batch") < batch_id
         )
+        if lo and (g_lo < lo):
+            gdf = gdf.filter(F.col("batch") >= lo)
         if buckets is not None:
             gdf = gdf.filter(
                 F.col("bucket").isin([int(x) for x in buckets])
@@ -169,6 +188,7 @@ def compact_sig_store(
     sig_store: str,
     n_buckets: int = _SIG_BUCKETS,
     full: bool = False,
+    expire_before: int | None = None,
 ) -> dict:
     """Fold committed per-batch signature dirs into a bucketed
     generation (``gen_K/bucket=band_hash%P``) so per-batch history
@@ -188,6 +208,14 @@ def compact_sig_store(
     are cached in the manifest.  ``full=True`` forces everything into
     one generation.
 
+    ``expire_before=B`` commits a RECENCY-WINDOW mark: batches < B
+    leave the dedup horizon permanently (the unbounded-crawl state
+    bound — dropDuplicatesWithinWatermark's analog).  Generations whose
+    recorded batch range lies wholly before the mark are dropped from
+    the manifest and deleted; expired committed batch dirs are
+    reclaimed; readers exclude anything < the mark unconditionally.
+    The mark is monotone (never rewinds).
+
     Crash-safe: each generation dir is written first, the manifest
     rename is the commit, and folded batch dirs / superseded gens are
     reclaimed only after it — a crash anywhere re-converges because
@@ -202,6 +230,8 @@ def compact_sig_store(
         "gen_counter": 0,
         "folded_batches": [],
         "gen_rows": {},
+        "gen_ranges": {},
+        "expired_before": 0,
     }
     n_buckets = int(man["n_buckets"])
     folded = set(man["folded_batches"])
@@ -216,9 +246,41 @@ def compact_sig_store(
         for e in os.listdir(sig_store):
             if e.startswith("gen_") and e not in live:
                 shutil.rmtree(os.path.join(sig_store, e), ignore_errors=True)
+
+    ranges = {
+        g: tuple(v) for g, v in (man.get("gen_ranges") or {}).items()
+    }
+    if expire_before is not None and int(expire_before) > int(
+        man.get("expired_before", 0)
+    ):
+        exp = int(expire_before)
+        keep, dropg = [], []
+        for g in man["generations"]:
+            g_lo, g_hi = ranges.get(g, (0, None))
+            (dropg if (g_hi is not None and g_hi < exp) else keep).append(g)
+        man.update(
+            expired_before=exp,
+            generations=keep,
+            gen_rows={
+                g: r for g, r in (man.get("gen_rows") or {}).items()
+                if g in keep
+            },
+            gen_ranges={g: list(ranges[g]) for g in keep if g in ranges},
+            folded_batches=sorted(n for n in man["folded_batches"] if n >= exp),
+        )
+        _write_sig_manifest(sig_store, man)  # commit the mark first
+        for g in dropg:
+            shutil.rmtree(os.path.join(sig_store, g), ignore_errors=True)
+        for n, d in _committed_batch_dirs(sig_store):
+            if n < exp:
+                shutil.rmtree(d, ignore_errors=True)
+        folded = set(man["folded_batches"])
+        ranges = {g: r for g, r in ranges.items() if g in set(keep)}
+    exp = int(man.get("expired_before", 0))
+
     fresh = [
         (n, d) for n, d in _committed_batch_dirs(sig_store)
-        if n not in folded
+        if n not in folded and n >= exp
     ]
     if not fresh and not (full and len(man["generations"]) > 1):
         return man
@@ -234,7 +296,8 @@ def compact_sig_store(
 
     def write_gen(df: DataFrame, n_rows: int | None, new_gens: list[str],
                   drop_batches: list[tuple[int, str]],
-                  drop_gens: list[str]) -> str:
+                  drop_gens: list[str],
+                  rng: tuple[int, int | None]) -> str:
         nonlocal gen_counter, gens
         gen_counter += 1
         gname = f"gen_{gen_counter}"
@@ -254,6 +317,7 @@ def compact_sig_store(
                 os.path.join(sig_store, gname)
             ).count()  # footer-only
         rows[gname] = int(n_rows)
+        ranges[gname] = (int(rng[0]), None if rng[1] is None else int(rng[1]))
         man.update(
             gen_counter=gen_counter,
             generations=gens,
@@ -261,6 +325,9 @@ def compact_sig_store(
                 set(man["folded_batches"]) | {n for n, _ in drop_batches}
             ),
             gen_rows={g: rows[g] for g in gens},
+            gen_ranges={
+                g: list(ranges[g]) for g in gens if g in ranges
+            },
         )
         _write_sig_manifest(sig_store, man)  # atomic commit
         for _, d in drop_batches:
@@ -276,7 +343,8 @@ def compact_sig_store(
             .parquet(*[d for _, d in fresh])
             .select(*cols)
         )
-        write_gen(fresh_df, None, gens, fresh, [])
+        ns = [n for n, _ in fresh]
+        write_gen(fresh_df, None, gens, fresh, [], (min(ns), max(ns)))
     # size-tiered cascade (binary-counter policy: merge while the
     # newest generation has grown to the size of the one before it —
     # equal-size incoming batches then behave like binary increments,
@@ -292,7 +360,12 @@ def compact_sig_store(
                 spark.read.parquet(os.path.join(sig_store, b)).select(*cols)
             )
         )
-        write_gen(merged, footer_rows(a) + footer_rows(b), gens[:-2], [], [a, b])
+        ra, rb = ranges.get(a, (0, None)), ranges.get(b, (0, None))
+        hi = None if (ra[1] is None or rb[1] is None) else max(ra[1], rb[1])
+        write_gen(
+            merged, footer_rows(a) + footer_rows(b), gens[:-2], [], [a, b],
+            (min(ra[0], rb[0]), hi),
+        )
     return man
 
 
@@ -305,6 +378,7 @@ def foreach_batch_near_dedup(
     text_col: str = "text",
     compact_every: int | None = 8,
     n_buckets: int = _SIG_BUCKETS,
+    history_batches: int | None = None,
 ):
     """foreachBatch callback: MinHash near-dup dedup of a document
     stream against everything seen before — the streaming twin of
@@ -338,9 +412,21 @@ def foreach_batch_near_dedup(
        maintenance step that keeps (2) pruned.  ``None`` disables
        auto-compaction (call it from a maintenance job instead).
 
+    ``history_batches=W`` bounds dedup to the last W batches — the
+    near-dup analog of dropDuplicatesWithinWatermark, and the piece
+    that makes per-batch cost CONSTANT on an unbounded crawl: bucket
+    pruning alone degrades to a full history scan once a batch is big
+    enough to touch every bucket, but a recency window caps the
+    scanned history at W batches regardless of stream age.  Expired
+    generations are physically reclaimed by the auto-compaction
+    (``expire_before`` mark); W=None (default) dedups against all
+    history — right for bounded backfills, documented trade for
+    crawls.
+
     Invariant pinned by test: no kept doc shares a band bucket with any
-    doc of an earlier batch, and within a batch the kept set equals the
-    batch operator's output on the store-survivors.
+    doc of an earlier batch INSIDE the window, and within a batch the
+    kept set equals the batch operator's output on the
+    store-survivors.
     """
     from metaprofi_spark.operators.dedup import drop_near_duplicates, minhash_bands
 
@@ -363,8 +449,15 @@ def foreach_batch_near_dedup(
                     .alias("bk")
                 ).distinct().collect()
             ]
+        min_batch = (
+            max(0, batch_id - history_batches)
+            if history_batches is not None
+            else None
+        )
         survivors = batch_df
-        hist = read_signature_history(spark, sig_store, batch_id, buckets)
+        hist = read_signature_history(
+            spark, sig_store, batch_id, buckets, min_batch=min_batch
+        )
         if hist is not None:
             # micro-batches are trigger-bounded → their key set is the
             # broadcast side; the (big) history side streams through
@@ -395,7 +488,11 @@ def foreach_batch_near_dedup(
                 if n not in folded
             ]
             if len(unfolded) >= compact_every:
-                compact_sig_store(spark, sig_store, n_buckets=nb)
+                compact_sig_store(
+                    spark, sig_store, n_buckets=nb,
+                    expire_before=min_batch if history_batches is not None
+                    else None,
+                )
 
     return fn
 
@@ -411,6 +508,7 @@ def stream_drop_near_duplicates(
     text_col: str = "text",
     compact_every: int | None = 8,
     n_buckets: int = _SIG_BUCKETS,
+    history_batches: int | None = None,
 ):
     """Wire a document stream through MinHash near-dup dedup; kept docs
     land under ``out_dir/batch=N``.  Returns the StreamingQuery."""
@@ -421,6 +519,7 @@ def stream_drop_near_duplicates(
             foreach_batch_near_dedup(
                 sig_store, out_dir, n_perm, bands, id_col, text_col,
                 compact_every=compact_every, n_buckets=n_buckets,
+                history_batches=history_batches,
             )
         )
         .start()

@@ -611,3 +611,52 @@ def test_sig_store_random_sequence_matches_model(spark, tmp_path):
     assert compactions and next_b >= 4
     man = _read_sig_manifest(sigs)
     assert man and man["generations"]
+
+
+def test_sig_store_recency_window_and_expiry(spark, tmp_path):
+    """history_batches=W (the near-dup dropDuplicatesWithinWatermark
+    analog): a duplicate of a batch OUTSIDE the window is kept again,
+    a duplicate INSIDE the window is still dropped, and compaction with
+    the expire mark physically reclaims wholly-expired generations
+    (manifest range pruning) without touching in-window history."""
+    from metaprofi_spark.streaming.dedup import (
+        _read_sig_manifest,
+        compact_sig_store,
+        foreach_batch_near_dedup,
+        read_signature_history,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # three token-disjoint planted docs so collisions are fully controlled
+    mk = lambda i, txt: spark.createDataFrame(  # noqa: E731
+        [(i, txt)], "doc_id long, text string"
+    )
+    t_old = "aaa bbb ccc ddd eee fff " * 4
+    t_new = "ggg hhh iii jjj kkk lll " * 4
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    fn = foreach_batch_near_dedup(
+        sigs, out, compact_every=1, history_batches=2
+    )
+    fn(base.filter(F.col("doc_id") < 100).unionByName(mk(9001, t_old)), 0)
+    fn(mk(9002, t_new), 1)
+    fn(mk(9003, "mmm nnn ooo ppp qqq rrr " * 4), 2)
+    # batch 3: window = batches {1, 2}. 9001's dup (batch 0, expired)
+    # must survive; 9002's dup (batch 1, in window) must be dropped.
+    fn(mk(9004, t_old).unionByName(mk(9005, t_new)), 3)
+    kept3 = {
+        r.doc_id for r in spark.read.parquet(out + "/batch=3").collect()
+    }
+    assert 9004 in kept3  # old-history dup re-admitted: window semantics
+    assert 9005 not in kept3  # in-window dup still dropped
+    # physical expiry: every surviving generation's range ends >= 1,
+    # no committed signature older than the mark remains readable
+    man = _read_sig_manifest(sigs)
+    assert man["expired_before"] >= 1
+    for g in man["generations"]:
+        lo, hi = man["gen_ranges"][g]
+        assert hi is None or hi >= man["expired_before"]
+    hist = read_signature_history(spark, sigs, batch_id=4)
+    assert hist.filter(F.col("id") == 9001).count() == 0  # batch-0 gone
+    assert hist.filter(F.col("id") == 9002).count() > 0  # in-window kept
