@@ -524,12 +524,7 @@ def persist_ivf(
     cells then reads EXACTLY those partitions (parquet partition
     pruning — pinned by plan test), the scan-fraction law
     nprobe/n_centroids made physical.  Returns the centroids."""
-    import json
     import os
-
-    import pyarrow as pa
-
-    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
 
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -539,6 +534,40 @@ def persist_ivf(
     # cells in the same Arrow batch — emit all three instead of
     # re-scanning the corpus and shuffle-joining cells back on (the r4
     # review's extra-scan + corpus-sized-shuffle finding)
+    _assign_cells(df, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "cells"))
+    dim = int(centroids.shape[1])
+    manifest = {
+        "n_centroids": int(centroids.shape[0]),
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "segments": ["cells"],
+        "update_count": 0,
+        "centroids": [[float(x) for x in row] for row in centroids],
+    }
+    _write_ivf_manifest(path, manifest)
+    return centroids
+
+
+def _write_ivf_manifest(path: str, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "ivf_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "ivf_manifest.json"))
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell) via one Arrow pass against broadcast centroids."""
+    import pyarrow as pa
+
+    from metaprofi_spark.kernels.arrowbuf import list_float_matrix
+
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
     src = df.select(id_col, vec_col)
@@ -562,36 +591,76 @@ def persist_ivf(
                 [id_col, vec_col, "cell"],
             )
 
-    data = src.mapInArrow(
+    return src.mapInArrow(
         fn, f"{id_col} {id_ddl}, {vec_col} {vec_ddl}, cell int"
     )
-    data.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
-    )
-    dim = int(centroids.shape[1])
-    manifest = {
-        "n_centroids": int(centroids.shape[0]),
-        "dim": dim,
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "centroids": [[float(x) for x in row] for row in centroids],
-    }
-    tmp = os.path.join(path, "ivf_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "ivf_manifest.json"))
-    return centroids
+
+
+def update_ivf(
+    df: DataFrame,
+    path: str,
+    segment_name: str | None = None,
+) -> dict:
+    """Append NEW vectors to a persisted IVF store — the ANN serving
+    store's analog of the Bloom store's ``update_store`` (incremental
+    growth without a rebuild).
+
+    Vectors are assigned to the store's EXISTING centroids (the
+    standard IVF contract: the coarse quantizer is immutable under
+    appends, so prior cell assignments and probe routing stay valid)
+    and land cell-partitioned in a fresh ``cells_u{K}/`` segment; the
+    commit is the atomic manifest rename listing the segment, so a
+    crash between data write and commit leaves an invisible orphan and
+    readers on the previous state.  ``segment_name`` makes the append
+    idempotent by name (a replayed micro-batch is a no-op), the
+    update_store contract.  Corpus drift (recall dropping on appended
+    data far from every centroid) is the signal to re-train via
+    ``persist_ivf`` — the re-cluster/rebuild trade every IVF system
+    has."""
+    import os
+
+    spark = df.sparkSession
+    _cells, centroids, manifest = load_ivf(spark, path)
+    segs = list(manifest.get("segments") or ["cells"])
+    seg = segment_name or f"cells_u{int(manifest.get('update_count', 0)) + 1}"
+    if seg in segs:
+        return manifest  # already committed: exactly-once no-op
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    dim = int(manifest["dim"])
+    ext = df.select(
+        F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx")
+    ).first()
+    if ext["mn"] is not None and (ext["mn"] != dim or ext["mx"] != dim):
+        raise ValueError(
+            f"update_ivf: vector dim {ext['mn']}..{ext['mx']} != store dim "
+            f"{dim}; appending would corrupt cell scoring"
+        )
+    _assign_cells(df, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, seg))
+    manifest["segments"] = segs + [seg]
+    manifest["update_count"] = int(manifest.get("update_count", 0)) + 1
+    _write_ivf_manifest(path, manifest)
+    return manifest
 
 
 def load_ivf(spark, path: str):
-    """(cells_df, centroids, manifest) of a persisted IVF store."""
+    """(cells_df, centroids, manifest) of a persisted IVF store.
+
+    ``cells_df`` unions the base ``cells/`` layout with every committed
+    ``cells_u{K}`` update segment (manifest-listed only — orphans from
+    crashed appends are invisible); each segment is cell-partitioned,
+    so partition pruning applies per segment."""
     import json
     import os
 
     with open(os.path.join(path, "ivf_manifest.json")) as f:
         manifest = json.load(f)
     centroids = np.asarray(manifest["centroids"], dtype=np.float64)
-    cells = spark.read.parquet(os.path.join(path, "cells"))
+    segs = list(manifest.get("segments") or ["cells"])
+    cells = spark.read.parquet(os.path.join(path, segs[0]))
+    for s in segs[1:]:
+        cells = cells.unionByName(spark.read.parquet(os.path.join(path, s)))
     return cells, centroids, manifest
 
 

@@ -742,3 +742,75 @@ def test_repetition_stats_plan_is_jvm_only(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_ivf_store_update_matches_rebuild(spark, embeddings, tmp_path):
+    """update_ivf (incremental append to a persisted IVF store): an
+    updated store answers full-probe searches IDENTICALLY to a store
+    rebuilt from scratch over the union with the SAME centroids (the
+    coarse quantizer is immutable under appends), a replayed named
+    segment is an exactly-once no-op, a crashed append's orphan dir is
+    invisible, and the probed scan still prunes cell partitions."""
+    from metaprofi_spark.operators.similarity import (
+        ann_ivf_search_store,
+        load_ivf,
+        persist_ivf,
+        update_ivf,
+    )
+
+    first = embeddings.filter(F.col("vec_id") < 300)
+    rest = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 500)
+    )
+    up, full = str(tmp_path / "ivf_up"), str(tmp_path / "ivf_full")
+    cents = persist_ivf(first, up, n_centroids=8)
+    m = update_ivf(rest, up)
+    assert m["segments"] == ["cells", "cells_u1"] and m["update_count"] == 1
+    persist_ivf(
+        embeddings.filter(F.col("vec_id") < 500), full, centroids=cents
+    )
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in embeddings.filter(F.col("vec_id") < 3).collect()
+    ]
+    res_up = {
+        (r.query_id, r.neighbor_id, r.dot)
+        for r in ann_ivf_search_store(
+            spark, up, qs, k=5, nprobe=8, quantized=True
+        ).collect()
+    }
+    res_full = {
+        (r.query_id, r.neighbor_id, r.dot)
+        for r in ann_ivf_search_store(
+            spark, full, qs, k=5, nprobe=8, quantized=True
+        ).collect()
+    }
+    assert res_up == res_full and res_up
+    # appended vectors are actually retrievable
+    q300 = embeddings.filter(F.col("vec_id") == 300).first()
+    hit = ann_ivf_search_store(
+        spark, up, [(300, list(q300.embedding))], k=1, nprobe=8
+    ).first()
+    assert hit.neighbor_id == 300
+    # exactly-once replay by name
+    n_before = load_ivf(spark, up)[0].count()
+    m2 = update_ivf(rest, up, segment_name="cells_u1")
+    assert m2["update_count"] == 1
+    assert load_ivf(spark, up)[0].count() == n_before
+    # dim-mismatch guard
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(999, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        update_ivf(bad, up)
+    # crashed append (data written, manifest not): orphan is invisible
+    import shutil
+
+    shutil.copytree(f"{up}/cells_u1", f"{up}/cells_u9")
+    assert load_ivf(spark, up)[0].count() == n_before
+    # probed scan still prunes partitions on the updated store
+    res = ann_ivf_search_store(spark, up, qs[:1], k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
