@@ -100,7 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("summary")
     common(m)
 
-    c = sub.add_parser("compact", help="rewrite all segments into one + vacuum orphans")
+    c = sub.add_parser(
+        "compact",
+        help="rewrite all segments into one (zeroing tombstoned samples' "
+             "bits — physical takedown reclaim) + vacuum orphans",
+    )
     common(c)
 
     d = sub.add_parser(

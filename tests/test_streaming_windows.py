@@ -500,6 +500,18 @@ def test_streaming_near_dedup_history_scan_prunes_buckets(spark, tmp_path):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     assert 0 < hist.count() < docs.count() * 16  # strictly pruned
+    # the probe joins broadcast the (trigger-bounded) batch keys:
+    # history streams through map-side, never shuffled or sorted
+    from metaprofi_spark.operators.dedup import minhash_bands
+
+    bkeys = minhash_bands(docs.limit(50)).select(
+        "band_id", "band_hash"
+    ).distinct()
+    probe = hist.join(
+        F.broadcast(bkeys), ["band_id", "band_hash"], "left_semi"
+    )
+    jplan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "SortMergeJoin" not in jplan, jplan
 
 
 def test_sig_store_tiered_merge_bounds_generations(spark, tmp_path):
