@@ -1192,6 +1192,47 @@ def ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF appends under the hash gate (r5): persist a
+    store on the even vec_ids, ``update_ivf`` the odd half as a
+    manifest-committed segment, then FULL-probe quantized search with
+    self excluded — bit-identical to the brute-force SQL truth (the
+    knn_quantized oracle), proving appended segments score exactly like
+    base ones.  Centroid training need not be deterministic: with
+    nprobe == n_centroids the candidate set is the whole corpus
+    regardless of the partition."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from metaprofi_spark.operators.similarity import (
+        ann_ivf_search_store,
+        persist_ivf,
+        update_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="ivf_gate_upd_")
+    persist_ivf(emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16)
+    update_ivf(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).collect()
+    ]
+    res = ann_ivf_search_store(
+        spark, path, qs, k=KNN_K + 1, nprobe=16, quantized=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        res.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("query_id", "neighbor_id", "dot")
+    )
+
+
 def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup connected components (LSH star edges +
     min-label propagation — the embedding dedup SCALE path;
@@ -1483,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_verified": ann_ivf_verified,
+        "ann_ivf_updated": ann_ivf_updated,
         "pricing_summary": pricing_summary,
         "top_orders_by_revenue": top_orders_by_revenue,
         "customers_per_region": customers_per_region,
@@ -1521,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_verified_pairs": SIMHASH_VERIFIED_SQL,
         "ann_lsh_verified": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "ann_ivf_verified": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
+        "ann_ivf_updated": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "knn_quantized": knn_quantized_sql(KNN_QUERY_IDS, KNN_K),
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
