@@ -613,35 +613,45 @@ def update_ivf(
     crash between data write and commit leaves an invisible orphan and
     readers on the previous state.  ``segment_name`` makes the append
     idempotent by name (a replayed micro-batch is a no-op), the
-    update_store contract.  Corpus drift (recall dropping on appended
-    data far from every centroid) is the signal to re-train via
-    ``persist_ivf`` — the re-cluster/rebuild trade every IVF system
-    has."""
+    update_store contract.  Runs under :func:`store_lock` (the Bloom
+    store's single-writer lease): without it two concurrent appends
+    would race the same auto-named segment dir and the manifest
+    read-modify-write would lose one of them.  Corpus drift (recall
+    dropping on appended data far from every centroid) is the signal
+    to re-train via ``persist_ivf`` — the re-cluster/rebuild trade
+    every IVF system has."""
     import os
 
+    from metaprofi_spark.operators.bloom_update import store_lock
+
     spark = df.sparkSession
-    _cells, centroids, manifest = load_ivf(spark, path)
-    segs = list(manifest.get("segments") or ["cells"])
-    seg = segment_name or f"cells_u{int(manifest.get('update_count', 0)) + 1}"
-    if seg in segs:
-        return manifest  # already committed: exactly-once no-op
-    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-    dim = int(manifest["dim"])
-    ext = df.select(
-        F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx")
-    ).first()
-    if ext["mn"] is not None and (ext["mn"] != dim or ext["mx"] != dim):
-        raise ValueError(
-            f"update_ivf: vector dim {ext['mn']}..{ext['mx']} != store dim "
-            f"{dim}; appending would corrupt cell scoring"
+    with store_lock(path):
+        _cells, centroids, manifest = load_ivf(spark, path)
+        segs = list(manifest.get("segments") or ["cells"])
+        seg = (
+            segment_name
+            or f"cells_u{int(manifest.get('update_count', 0)) + 1}"
         )
-    _assign_cells(df, centroids, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(path, seg))
-    manifest["segments"] = segs + [seg]
-    manifest["update_count"] = int(manifest.get("update_count", 0)) + 1
-    _write_ivf_manifest(path, manifest)
-    return manifest
+        if seg in segs:
+            return manifest  # already committed: exactly-once no-op
+        id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        dim = int(manifest["dim"])
+        ext = df.select(
+            F.min(F.size(vec_col)).alias("mn"),
+            F.max(F.size(vec_col)).alias("mx"),
+        ).first()
+        if ext["mn"] is not None and (ext["mn"] != dim or ext["mx"] != dim):
+            raise ValueError(
+                f"update_ivf: vector dim {ext['mn']}..{ext['mx']} != store "
+                f"dim {dim}; appending would corrupt cell scoring"
+            )
+        _assign_cells(df, centroids, id_col, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(path, seg))
+        manifest["segments"] = segs + [seg]
+        manifest["update_count"] = int(manifest.get("update_count", 0)) + 1
+        _write_ivf_manifest(path, manifest)
+        return manifest
 
 
 def load_ivf(spark, path: str):

@@ -1,8 +1,15 @@
-"""Structured-Streaming exact dedup — the streaming twin of
-operators/dedup.exact_duplicate_groups / drop_exact_duplicates (the one
-pre-training pipeline stage that had no streaming sibling: a stream of
-crawled pages needs duplicate pages dropped BEFORE any downstream
-build/sketch stage sees them).
+"""Structured-Streaming dedup — streaming twins of the batch dedup
+operators (a stream of crawled pages needs duplicate pages dropped
+BEFORE any downstream build/sketch stage sees them):
+
+* EXACT: ``stream_drop_exact_duplicates`` (dropDuplicates /
+  dropDuplicatesWithinWatermark state on the normalized-text md5);
+* NEAR-DUP: ``foreach_batch_near_dedup`` over an LSM parquet signature
+  store — committed per-batch dirs + bucketed ``gen_K/bucket=B``
+  generations with size-tiered merging (``compact_sig_store``), probed
+  per micro-batch with partition pruning + broadcast semi-joins, and
+  optionally bounded by a recency window (``history_batches``) with
+  physical expiry — the shape that survives an unbounded crawl.
 
 Semantics: the batch twin keeps the min-id representative of every
 normalized-text fingerprint group; a stream cannot know the future min
@@ -222,7 +229,26 @@ def compact_sig_store(
     this function first removes dirs the manifest already marks folded
     or no longer lists.  ``n_buckets`` is sticky: the first compaction
     fixes it for the store's life (mixed bucketing would break
-    pruning)."""
+    pruning).  Runs under the Bloom store's :func:`store_lock`
+    single-writer lease, so the stream's auto-compaction and an
+    external maintenance call can never interleave their manifest
+    read-modify-writes."""
+    from metaprofi_spark.operators.bloom_update import store_lock
+
+    os.makedirs(sig_store, exist_ok=True)
+    with store_lock(sig_store):
+        return _compact_sig_store_locked(
+            spark, sig_store, n_buckets, full, expire_before
+        )
+
+
+def _compact_sig_store_locked(
+    spark: SparkSession,
+    sig_store: str,
+    n_buckets: int,
+    full: bool,
+    expire_before: int | None,
+) -> dict:
     man = _read_sig_manifest(sig_store) or {
         "format": 1,
         "n_buckets": int(n_buckets),
