@@ -122,12 +122,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_sql(tau_pct: int = 80) -> str:
-    """DuckDB oracle for ngram_jaccard_pairs on the documents view."""
+def ngram_jaccard_sql(tau_pct: int = 80, source: str = "documents") -> str:
+    """DuckDB oracle for ngram_jaccard_pairs on ``source`` (a view or
+    CTE with doc_id, text — composed oracles pass their own survivor
+    CTE)."""
     return f"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS token
-  FROM documents
+  FROM {source}
 ), toks2 AS (SELECT * FROM toks WHERE token <> ''),
 sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
 shared AS (
@@ -480,6 +482,80 @@ def min_label_propagation(
             "diameter exceeds the iteration cap)"
         )
     return labels
+
+
+def verified_near_dup_components(
+    df: DataFrame,
+    tau_pct: int = 80,
+    n_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the VERIFIED near-dup pair graph:
+    (id, comp), comp = min id reachable through token-set-Jaccard >=
+    tau edges.
+
+    Edges come from :func:`minhash_verified_pairs` (LSH candidates
+    exact-verified per unique token-set pair), so when the banded
+    signature has zero false negatives on the corpus — deterministic
+    per (corpus, params), verified at both gate scales for the default
+    (128, 32) at tau=0.8 — the component structure equals the
+    transitive closure of the TRUE Jaccard pair graph, which IS
+    SQL-expressible (:func:`min_label_chain_sql`).  The dedup analog of
+    the ann_lsh_verified trick: the probabilistic plan runs, the exact
+    truth checks it hash-exactly.
+
+    Unlike :func:`near_dup_components` (collision-graph star edges,
+    the at-scale default), the edge list here is the verified PAIR set
+    — quadratic in cluster size, so this is the oracle-tier twin, not
+    the 100-TB path.  Isolated docs (no verified pair, or no tokens)
+    are their own component.
+    """
+    pairs = minhash_verified_pairs(df, tau_pct, n_perm, bands, id_col, text_col)
+    edges = pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("rep"))
+    nodes = df.select(F.col(id_col).alias("id")).distinct()
+    return min_label_propagation(edges, nodes, max_iter)
+
+
+def min_label_chain_sql(rounds: int = 12) -> str:
+    """DuckDB oracle fragment for min-label propagation — the SQL twin
+    of :func:`min_label_propagation`, unrolled.
+
+    Expects the caller's WITH clause to already define CTEs ``e``
+    (``src, dst`` — BOTH directions of every undirected edge) and
+    ``l0`` (``id, lbl`` — every node labeled with itself); emits
+    ``l1..l{rounds}`` (each round: every node takes the min label among
+    itself and its in-neighbors) plus ``moved`` (count of labels that
+    changed in the LAST round).  The caller must surface ``moved > 0``
+    as an impossible extra row so non-convergence fails the gate
+    LOUDLY (rows mismatch) instead of silently under-merging — the SQL
+    analog of min_label_propagation's iteration-cap raise.
+
+    ``AS MATERIALIZED`` is load-bearing: each l{k} references l{k-1}
+    twice, so the inlined-CTE expression tree doubles per round
+    (2^rounds evaluations of the pair join — measured minutes at
+    sf0.1); materialized, every round is evaluated once (~0.2 s at
+    sf0.01, pair-join-dominated at sf0.1).
+
+    Default 12 rounds = 3x margin over the measured convergence point
+    (4 rounds at sf0.01 AND sf0.1; extra rounds cost only the
+    label-table scan).
+    """
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM ("
+            f"SELECT id, lbl FROM l{k - 1} "
+            f"UNION ALL SELECT e.dst AS id, l.lbl FROM l{k - 1} l JOIN e ON e.src = l.id"
+            f") GROUP BY id)"
+        )
+    parts.append(
+        f"moved AS (SELECT count(*) AS n FROM l{rounds} a "
+        f"JOIN l{rounds - 1} b ON a.id = b.id AND a.lbl <> b.lbl)"
+    )
+    return ",\n".join(parts)
 
 
 def drop_near_duplicates(

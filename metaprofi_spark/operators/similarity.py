@@ -353,6 +353,34 @@ def embedding_near_dup_components(
     )
 
 
+def embedding_verified_components(
+    df: DataFrame,
+    min_dot_q: int,
+    max_iter: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Connected components of the VERIFIED embedding near-dup graph:
+    (id, comp), comp = min id reachable through quantized-dot >=
+    min_dot_q edges.
+
+    Edges are :func:`embedding_near_dup_pairs` — integer arithmetic,
+    hash-exact vs the SQL pair oracle — so the components are exactly
+    the transitive closure of the SQL-expressible pair graph
+    (dedup.min_label_chain_sql builds the oracle).  The verified twin
+    of :func:`embedding_near_dup_components`: that one runs the linear
+    LSH star-edge plan for 100-TB corpora; this one pins the shared
+    min-label propagation under the hash gate on the brute-force edge
+    set.  Isolated vectors are their own component.
+    """
+    from metaprofi_spark.operators.dedup import min_label_propagation
+
+    pairs = embedding_near_dup_pairs(df, min_dot_q, id_col, vec_col)
+    edges = pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("rep"))
+    nodes = df.select(F.col(id_col).alias("id")).distinct()
+    return min_label_propagation(edges, nodes, max_iter)
+
+
 def drop_embedding_near_duplicates(
     df: DataFrame,
     dim: int,

@@ -854,6 +854,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirrors quality_score(text) term by term: len_score = least(nt/100,1);
 # punct_pen = 1 - least(5*punct_ratio,1); stop_score = least(4*stop_ratio,1);
 # quality = ((ls + pp) + ss)/3 — same association order as Spark
+def _quality_micro_sql(source: str = "documents") -> str:
+    """Standalone (doc_id, q_micro) quality SQL over ``source`` — the
+    quality_scores oracle, reusable inside composed oracles (the
+    verified clean-corpus chain filters survivors on it)."""
+    return QUALITY_SCORES_SQL.replace("FROM documents", f"FROM {source}", 1)
+
+
 QUALITY_SCORES_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -1019,6 +1026,79 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name_b)
 
 
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming gate row: the TIME-WINDOWED rollup under the
+    hash gate.  The events table is replayed as a >=3-micro-batch file
+    stream and aggregated with the real streaming window operator
+    (tumbling 1-hour ``F.window`` in complete mode — windowed agg
+    state folds across micro-batches; the multi-batch invariant is
+    asserted in-query so a single-batch degenerate run errors the row
+    instead of passing vacuously).
+
+    Complete mode because the stream is finite: append mode only emits
+    windows the watermark has passed, so trailing windows would be
+    dropped on a bounded replay (the watermarked append path is
+    hourly_event_rollup, pinned by its batch-twin test).  countDistinct
+    is unsupported on streams — n_users stays the batch/HLL rows'
+    business; this row hashes (hour, event_type, n_events,
+    sum_value_e6) exactly like the events_hourly quantization.
+
+    ``w.start`` comes back TIMESTAMP (window() needs event-time, not
+    NTZ); cast to timestamp_ntz to match the batch row's dtype — the
+    box/session runs UTC so the roundtrip is value-identity."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_events_gate_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_e6",
+        )
+    )
+    name = f"seh_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    q.stop()
+    if n_batches < 2:
+        raise AssertionError(f"expected a multi-batch stream, got {n_batches}")
+    return spark.table(name)
+
+
+STREAM_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2
+"""
+
+
 FINGERPRINT_SQL = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1125,6 +1205,141 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metaprofi_spark.operators.dedup import near_dup_components
 
     return near_dup_components(_docs(spark, sf_dir), 64, 16)
+
+
+def near_dup_groups_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over VERIFIED (exact-Jaccard) edges — runs
+    the LSH-candidates→verify→min-label-propagation plan but, coverage
+    holding (pinned at both scales for (128, 32) at tau=0.8), equals
+    the transitive closure of the SQL-expressible true pair graph: the
+    hash-exact twin of near_dup_groups, pinning min_label_propagation
+    itself under the driver's gate via the unrolled DuckDB label chain
+    (dedup.min_label_chain_sql)."""
+    from metaprofi_spark.operators.dedup import verified_near_dup_components
+
+    labels = verified_near_dup_components(_docs(spark, sf_dir), JACCARD_TAU, 128, 32)
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp"))
+
+
+def _near_dup_groups_verified_sql(rounds: int = 12) -> str:
+    from metaprofi_spark.operators.dedup import min_label_chain_sql, ngram_jaccard_sql
+
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({ngram_jaccard_sql(JACCARD_TAU)})),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+{min_label_chain_sql(rounds)}
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS comp FROM l{rounds}
+UNION ALL
+SELECT -1 AS doc_id, -1 AS comp FROM moved WHERE n > 0
+"""
+
+
+def embedding_components_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup components over VERIFIED (quantized-dot)
+    edges — integer arithmetic end to end, so the components equal the
+    closure of the hash-exact pair oracle: the verified twin of
+    embedding_components (which runs the linear LSH star-edge plan)."""
+    from metaprofi_spark.operators.similarity import embedding_verified_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = embedding_verified_components(emb, NEAR_DUP_MIN_DOT)
+    return labels.select(F.col("id").alias("vec_id"), F.col("comp"))
+
+
+def _embedding_components_verified_sql(rounds: int = 12) -> str:
+    from metaprofi_spark.operators.dedup import min_label_chain_sql
+    from metaprofi_spark.operators.similarity import embedding_near_dup_sql
+
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({embedding_near_dup_sql(NEAR_DUP_MIN_DOT)})),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+{min_label_chain_sql(rounds)}
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(lbl AS BIGINT) AS comp FROM l{rounds}
+UNION ALL
+SELECT -1 AS vec_id, -1 AS comp FROM moved WHERE n > 0
+"""
+
+
+def clean_corpus_verified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training sweep under the HASH gate: exact dedup
+    → verified near-dup components (keep each component's min id) →
+    quantized quality floor, chained stage-for-stage in the oracle SQL
+    — the verified twin of clean_corpus_ids (whose near-dup stage uses
+    the collision graph, not SQL-expressible).
+
+    The corpus carries no exact duplicates at gate scale, so the query
+    PLANTS deterministic ones (every 7th doc mirrored at doc_id+10000,
+    the simhash_verified_pairs trick) to make stage 1 non-vacuous; the
+    quality floor compares integer micro-units (q_micro >= 300000) on
+    both engines so the float-boundary gotcha cannot bite."""
+    from metaprofi_spark.functions.text import quality_score
+    from metaprofi_spark.operators.dedup import (
+        drop_exact_duplicates,
+        verified_near_dup_components,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text"
+    )
+    # materialize the exact-dedup survivors to parquet and re-read:
+    # the component step fans out over d1 twice (edges + nodes), and a
+    # reused union+semi-join (or localCheckpoint LogicalRDD) relation
+    # trips Spark 4.1's DeduplicateRelations inside the propagation
+    # loop's checkpoint (AttributeMap "key not found"); a parquet scan
+    # — like every other gate fixture — planes it away
+    import tempfile
+
+    d1_path = tempfile.mkdtemp(prefix="clean_corpus_d1_") + "/d1.parquet"
+    drop_exact_duplicates(docs.unionByName(planted)).write.mode(
+        "overwrite"
+    ).parquet(d1_path)
+    d1 = spark.read.parquet(d1_path)
+    labels = verified_near_dup_components(d1, JACCARD_TAU, 128, 32)
+    reps = labels.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = d1.join(reps, "doc_id", "left_semi")
+    q_micro = (
+        F.round(quality_score(F.col("text")).cast("double") * F.lit(1000000.0))
+        .cast("long")
+    )
+    return survivors.filter(q_micro >= 300000).select("doc_id")
+
+
+def _clean_corpus_verified_sql(rounds: int = 12) -> str:
+    from metaprofi_spark.operators.dedup import min_label_chain_sql, ngram_jaccard_sql
+
+    return f"""
+WITH d0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+keep1 AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d0)
+  GROUP BY fp
+),
+d1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM d0 d JOIN keep1 USING (doc_id)),
+pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({ngram_jaccard_sql(JACCARD_TAU, source="d1")})),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM d1),
+{min_label_chain_sql(rounds)},
+d2 AS MATERIALIZED (
+  SELECT d1.doc_id, d1.text FROM d1 JOIN l{rounds} ON d1.doc_id = l{rounds}.id
+  WHERE l{rounds}.id = l{rounds}.lbl
+),
+q AS (SELECT * FROM ({_quality_micro_sql("d2")}))
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM q WHERE q_micro >= 300000
+UNION ALL
+SELECT -1 AS doc_id FROM moved WHERE n > 0
+"""
 
 
 def clean_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_delete_search": bloom_delete_search,
         "fingerprint_groups": fingerprint_groups,
         "stream_dedup_docs": stream_dedup_docs,
+        "stream_events_hourly": stream_events_hourly,
         "repetition_stats": repetition_stats_q,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_candidates,
@@ -1518,7 +1734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": simhash_verified_pairs_q,
         "ann_lsh_verified": ann_lsh_verified,
         "near_dup_groups": near_dup_groups,
+        "near_dup_groups_verified": near_dup_groups_verified,
+        "embedding_components_verified": embedding_components_verified,
         "clean_corpus_ids": clean_corpus_ids,
+        "clean_corpus_verified_ids": clean_corpus_verified_ids,
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
@@ -1557,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_delete_search": BLOOM_DELETE_SQL,
         "fingerprint_groups": FINGERPRINT_SQL,
         "stream_dedup_docs": FINGERPRINT_SQL,
+        "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
         "repetition_stats": REPETITION_SQL,
         "jaccard_pairs": ngram_jaccard_sql(JACCARD_TAU),
         "minhash_verified_pairs": ngram_jaccard_sql(JACCARD_TAU),
@@ -1575,6 +1795,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_profile": DOCS_PROFILE_SQL,
         "quality_scores": QUALITY_SCORES_SQL,
         "embedding_near_dup": __import__("metaprofi_spark.operators.similarity", fromlist=["x"]).embedding_near_dup_sql(NEAR_DUP_MIN_DOT),
+        "near_dup_groups_verified": _near_dup_groups_verified_sql(),
+        "embedding_components_verified": _embedding_components_verified_sql(),
+        "clean_corpus_verified_ids": _clean_corpus_verified_sql(),
         # no SQL oracle (estimates / probabilistic / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
         # minhash_candidates, simhash_pairs, ann_lsh,

@@ -192,6 +192,73 @@ def test_near_dup_components_chain_and_cluster(spark, docs):
     assert all(comp[10 * i] == comp[10 * i + 1] for i in range(len(base)))
 
 
+def test_verified_components_equal_jaccard_closure(spark):
+    """verified_near_dup_components == transitive closure of the TRUE
+    Jaccard pair graph, including a chain (A~B, B~C, A!~C merge) and
+    isolated / token-less docs keeping their own label — the property
+    the hash-exact gate row (near_dup_groups_verified) relies on."""
+    from metaprofi_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verified_near_dup_components,
+    )
+
+    toks = [f"t{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(toks[0:10])),   # A
+        (2, " ".join(toks[1:11])),   # B: J(A,B) = 9/11 ~ 0.818
+        (3, " ".join(toks[2:12])),   # C: J(B,C) ~ 0.818, J(A,C) = 8/12 < 0.8
+        (4, "loner only here"),      # isolated
+        (5, ""),                     # token-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, 80).collect()}
+    assert truth == {(1, 2), (2, 3)}  # the chain, no shortcut edge
+    comp = {r.id: r.comp for r in verified_near_dup_components(df, 80).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_embedding_verified_components_equal_closure(spark):
+    """embedding_verified_components merges chains through the
+    quantized-dot threshold and leaves isolated vectors alone."""
+    from metaprofi_spark.operators.similarity import embedding_verified_components
+
+    rows = [
+        (1, [1.0, 0.0]),    # A
+        (2, [0.8, 0.6]),    # B: A.B = 0.8
+        (3, [0.0, 1.0]),    # C: B.C = 0.6, A.C = 0
+        (4, [-1.0, 0.0]),   # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # threshold 500000 (quantized 0.5): edges A-B (800000), B-C (600000)
+    comp = {r.id: r.comp for r in embedding_verified_components(df, 500_000).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_min_label_chain_sql_closure_and_sentinel():
+    """The DuckDB oracle chain converges to component minima on a path
+    graph, and the convergence sentinel FIRES when rounds are too few —
+    non-convergence must fail the gate loudly, not under-merge."""
+    import duckdb
+
+    from metaprofi_spark.operators.dedup import min_label_chain_sql
+
+    def run(rounds):
+        q = f"""
+WITH pairs(id_a, id_b) AS (VALUES (1, 2), (2, 3), (3, 4), (4, 5)),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT * FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (9, 9)) t(id, lbl)),
+{min_label_chain_sql(rounds)}
+SELECT id, lbl FROM l{rounds}
+UNION ALL
+SELECT -1, -1 FROM moved WHERE n > 0
+"""
+        return sorted(duckdb.connect().execute(q).fetchall())
+
+    assert run(12) == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (9, 9)]
+    assert (-1, -1) in run(1)  # label 1 hasn't reached node 5: sentinel row
+
+
 def test_drop_near_duplicates_keeps_one_per_component(spark, docs):
     from metaprofi_spark.operators.dedup import drop_near_duplicates, near_dup_components
 
