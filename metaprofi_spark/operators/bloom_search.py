@@ -443,15 +443,34 @@ def _search_from_hashes(
         for s, e in zip(gstarts, gends):
             n_total = int(seg_nk[s])
             cut = (n_total * t_int + 99) // 100
-            bits = np.unpackbits(anded[s:e], axis=1, bitorder="little")
-            counts = (bits.astype(np.int64) * kweights[s:e, None]).sum(axis=0)
-            nz = np.nonzero(counts >= cut)[0]
-            if len(nz) == 0:
-                continue
+            if t_int == 100:
+                # exact-search fast path: counts[j] = Σ w_seg·bit_seg[j]
+                # with cut = n_total = Σ w_seg (w_seg >= 1), so
+                # counts >= cut  ⟺  every k-gram row has bit j set —
+                # one byte-level AND reduce instead of unpack + int64
+                # multiply-sum (~64x less memory traffic; this box is
+                # RAM-bandwidth-bound).  Store padding bits are never
+                # set, so they AND to 0 exactly like counts < cut.
+                row = (
+                    anded[s]
+                    if e - s == 1
+                    else np.bitwise_and.reduce(anded[s:e], axis=0)
+                )
+                nz = np.nonzero(np.unpackbits(row, bitorder="little"))[0]
+                if len(nz) == 0:
+                    continue
+                hits = [n_total] * len(nz)  # all-hit by definition
+            else:
+                bits = np.unpackbits(anded[s:e], axis=1, bitorder="little")
+                counts = (bits.astype(np.int64) * kweights[s:e, None]).sum(axis=0)
+                nz = np.nonzero(counts >= cut)[0]
+                if len(nz) == 0:
+                    continue
+                hits = counts[nz].tolist()
             base = int(gb[s]) * bucket
             out_q.extend([gq[s]] * len(nz))
             out_s.extend((base + nz).tolist())
-            out_h.extend(counts[nz].tolist())
+            out_h.extend(hits)
             out_n.extend([n_total] * len(nz))
         yield pd.DataFrame(
             {

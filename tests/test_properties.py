@@ -279,3 +279,60 @@ def test_list_float_matrix_property(dim, n, off, kind, seed):
         assert (sliced == rows[off:]).all()
     else:
         assert sliced.size == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_min_label_chain_sql_equals_union_find(edge_list, seed):
+    """The unrolled DuckDB min-label chain (the oracle behind the
+    verified component gate rows) must equal union-find components on
+    arbitrary graphs whenever rounds >= propagation distance — with 12
+    nodes, 12 rounds always suffice, so the sentinel must never fire
+    and the labels must match exactly."""
+    import duckdb
+
+    from metaprofi_spark.operators.dedup import min_label_chain_sql
+
+    nodes = list(range(12))
+    edges = [(a, b) for a, b in edge_list if a != b]
+    # union-find ground truth
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in nodes}
+
+    if edges:
+        pair_vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        pairs_cte = f"pairs(id_a, id_b) AS (VALUES {pair_vals})"
+    else:
+        pairs_cte = "pairs(id_a, id_b) AS (SELECT 0, 0 WHERE 1=0)"
+    node_vals = ", ".join(f"({i}, {i})" for i in nodes)
+    q = f"""
+WITH {pairs_cte},
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT * FROM (VALUES {node_vals}) t(id, lbl)),
+{min_label_chain_sql(12)}
+SELECT id, lbl FROM l12
+UNION ALL
+SELECT -1, -1 FROM moved WHERE n > 0
+"""
+    got = dict(duckdb.connect().execute(q).fetchall())
+    assert -1 not in got  # converged: sentinel silent
+    assert got == expect
