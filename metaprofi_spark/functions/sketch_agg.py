@@ -259,6 +259,87 @@ def tdigest_agg(
     )
 
 
+def kmv_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 8192
+) -> DataFrame:
+    """Per-group KMV bottom-k distinct sketch (kernels/kmv.py):
+    (group..., n_distinct_est double, sketch binary).
+
+    The estimate is EXACT while a group's distinct-value count stays
+    under k (the sketch is then the full hash set) — the tier the
+    hash-exact gate row pins; saturated sketches fall back to the
+    unbiased (k-1)/U_(k) estimator with ~1/sqrt(k-2) relative error.
+    """
+    from metaprofi_spark.kernels import kmv as K
+
+    class _Acc:
+        __slots__ = ("state",)
+
+        def __init__(self):
+            self.state = K.kmv_init()
+
+        def serialize(self):
+            return K.kmv_serialize(self.state)
+
+    def fold(acc: _Acc, series: pd.Series):
+        acc.state = K.kmv_add(acc.state, utf8_values(series), k)
+
+    def merge_blobs(blobs):
+        state = K.kmv_deserialize(blobs[0])
+        for b in blobs[1:]:
+            state = K.kmv_merge(state, K.kmv_deserialize(b), k)
+        return K.kmv_serialize(state)
+
+    def finalize(blob):
+        return {"n_distinct_est": K.kmv_estimate(K.kmv_deserialize(blob), k)}
+
+    return _partial_final(
+        df, group_cols, value_col, _Acc, fold, merge_blobs,
+        "n_distinct_est double", finalize,
+    )
+
+
+def kmv_pairwise_ops(agg_df: DataFrame, group_col: str, k: int,
+                     require_exact: bool = False) -> DataFrame:
+    """All-pairs set-operation estimates between the groups of a
+    ``kmv_agg`` result: (g_a, g_b, n_a, n_b, n_intersection, n_union)
+    for g_a < g_b.
+
+    The sketches (one fixed-size blob per group — language, domain,
+    shard) are collected to the driver and combined pairwise in numpy;
+    this is the theta-sketch serving shape: set algebra happens on
+    merged synopses AFTER the one distributed pass, never by
+    re-shuffling raw values.  Bounded by #groups² blobs, independent
+    of corpus size.  Estimates are exact when both sketches are
+    unsaturated (kernels/kmv.py)."""
+    from metaprofi_spark.kernels import kmv as K
+
+    rows = agg_df.select(group_col, "sketch").collect()
+    sketches = {r[0]: K.kmv_deserialize(r[1]) for r in rows}
+    if require_exact:
+        # exact-tier guard (the hash-exact gate row): a saturated
+        # sketch would silently degrade to estimates — fail loudly
+        sat = sorted(g for g, s in sketches.items() if len(s) >= k)
+        if sat:
+            raise ValueError(
+                f"kmv exact tier requires n_distinct < k={k}; "
+                f"saturated groups: {sat}"
+            )
+    names = sorted(sketches)
+    out = []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            ops = K.kmv_set_ops(sketches[ga], sketches[gb], k)
+            out.append((ga, gb, ops["n_a"], ops["n_b"],
+                        ops["intersection"], ops["union"]))
+    return agg_df.sparkSession.createDataFrame(
+        out,
+        f"g_a {agg_df.schema[group_col].dataType.simpleString()}, "
+        f"g_b {agg_df.schema[group_col].dataType.simpleString()}, "
+        "n_a double, n_b double, n_intersection double, n_union double",
+    )
+
+
 def kll_quantiles(
     df: DataFrame,
     group_cols: list[str],

@@ -1,0 +1,90 @@
+"""Benchmark decontamination — the n-gram overlap sweep every LLM
+training pipeline runs before training (the GPT-3 appendix-C /
+Dolma-style 13-gram check): flag corpus documents sharing word
+n-grams with a benchmark/eval set.
+
+Execution shape (the 100-TB plan):
+
+* n-gram extraction is pure JVM (split → sequence → transform →
+  slice → array_join) — codegen'd, no Python, no UDF;
+* the benchmark side is TINY relative to the corpus (eval suites are
+  MBs; the corpus is TBs) — its distinct grams are BROADCAST, so the
+  only shuffle on the corpus side is the final per-doc count, which
+  is partial-agg friendly (map-side combine on doc_id);
+* corpus grams are joined AS GENERATED — never materialized corpus-wide.
+
+The reference's analog is the exact-search membership sweep over the
+Bloom matrix (search_index.py); here the "probe set" is the benchmark
+n-grams and exactness is required, so a broadcast hash semi-join
+replaces the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_ngrams(text_col, n: int):
+    """Column expression: array of space-joined word n-grams of
+    lower(text), whitespace-tokenized, empties dropped.  Docs with
+    fewer than n tokens yield an empty array (the sequence() guard —
+    Spark's sequence(0, negative) would COUNT DOWN, not stay empty)."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_rows(df: DataFrame, n: int, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, gram) — DISTINCT word n-grams per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per contaminated corpus doc: (doc_id, n_hits, contaminated)
+    where n_hits = #distinct word n-grams shared with ANY benchmark
+    doc.  Clean docs are absent (filter them downstream with an
+    anti-join, or invert via drop_contaminated)."""
+    bench_grams = F.broadcast(
+        ngram_rows(benchmark, n, id_col, text_col).select("gram").distinct()
+    )
+    hits = ngram_rows(corpus, n, id_col, text_col).join(bench_grams, "gram")
+    return (
+        hits.groupBy("id")
+        .agg(F.count("*").alias("n_hits"))  # grams distinct per doc upstream
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_hits"),
+            F.lit(True).alias("contaminated"),
+        )
+    )
+
+
+def drop_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus documents sharing >= min_hits distinct n-grams
+    with the benchmark — the actual pipeline step."""
+    bad = contamination_report(corpus, benchmark, n, id_col, text_col).filter(
+        F.col("n_hits") >= min_hits
+    )
+    return corpus.join(bad.select(id_col), id_col, "left_anti")

@@ -1702,6 +1702,149 @@ NEAR_DUP_MIN_DOT = 150_000
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# KMV distinct sketch with set operations (theta-style) — the overlap
+# question HLL cannot answer: how much vocabulary do two languages share
+# ---------------------------------------------------------------------------
+
+KMV_K = 1 << 16
+
+
+def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between languages via KMV bottom-k
+    sketches (kernels/kmv.py): ONE distributed pass folds per-lang
+    token sketches (mergeable UDAF, same shape as HLL/CMS/KLL); set
+    algebra then runs on the fixed-size synopses.  k=65536 keeps every
+    sketch unsaturated at gate scales — the EXACT tier (asserted
+    in-query via require_exact, so saturation fails the gate loudly
+    instead of silently hash-mismatching); the estimate tier's error
+    bounds are pinned in tests/test_kmv.py."""
+    from metaprofi_spark.functions.sketch_agg import kmv_agg, kmv_pairwise_ops
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    agg = kmv_agg(toks, ["lang"], "token", k=KMV_K)
+    pairs = kmv_pairwise_ops(agg, "lang", k=KMV_K, require_exact=True)
+    return pairs.select(
+        F.col("g_a").alias("lang_a"),
+        F.col("g_b").alias("lang_b"),
+        F.col("n_a").cast("long").alias("vocab_a"),
+        F.col("n_b").cast("long").alias("vocab_b"),
+        F.col("n_intersection").cast("long").alias("shared_vocab"),
+        F.col("n_union").cast("long").alias("union_vocab"),
+    )
+
+
+KMV_VOCAB_SQL = """
+WITH v AS (
+  SELECT DISTINCT lang, token FROM (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents
+  )
+),
+sizes AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+shared AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+  FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       CAST(sa.n AS BIGINT) AS vocab_a,
+       CAST(sb.n AS BIGINT) AS vocab_b,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS shared_vocab,
+       CAST(sa.n + sb.n - COALESCE(sh.n_shared, 0) AS BIGINT) AS union_vocab
+FROM sizes sa
+JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN shared sh ON sh.lang_a = sa.lang AND sh.lang_b = sb.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (operators/decontam.py) — n-gram overlap
+# sweep against a held-out eval set
+# ---------------------------------------------------------------------------
+
+DECONTAM_N = 3  # the synthetic corpus shares no 5-grams across docs;
+# 3-grams give a non-trivial contaminated set at both gate scales
+DECONTAM_MOD, DECONTAM_RES = 100, 3
+
+
+def decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated corpus doc, #distinct word 3-grams shared with
+    the 'benchmark' split (docs with doc_id % 100 == 3 stand in for an
+    eval suite).  Broadcast benchmark grams; the corpus side's only
+    shuffle is the partial-agg count on doc_id."""
+    from metaprofi_spark.operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % DECONTAM_MOD) == DECONTAM_RES
+    rep = contamination_report(
+        docs.filter(~is_bench), docs.filter(is_bench), n=DECONTAM_N
+    )
+    return rep.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ts[i : i + {DECONTAM_N} - 1], ' ') AS gram
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) - {DECONTAM_N} + 2)) AS i
+    FROM toks WHERE len(ts) >= {DECONTAM_N}
+  )
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_RES}
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+SAMPLE_N, SAMPLE_SEED = 20, 7
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: the SAMPLE_N md5-hash-smallest docs
+    of every lang — deterministic, engine-independent.  Spark side is
+    the skew-safe two-phase top-N; the oracle is the single-window
+    QUALIFY twin."""
+    from metaprofi_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, ["lang"], SAMPLE_N, "doc_id", seed=SAMPLE_SEED
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from metaprofi_spark.operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents", ["lang"], SAMPLE_N, "doc_id", SAMPLE_SEED,
+        select_cols="doc_id, lang",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_substring_search": bloom_substring_search,
@@ -1753,6 +1896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_components": embedding_components,
         "multimodal_decode": multimodal_decode,
         "multimodal_meta": multimodal_meta,
+        "kmv_vocab_overlap": kmv_vocab_overlap,
+        "decontam_hits": decontam_hits,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -1798,6 +1944,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_verified": _near_dup_groups_verified_sql(),
         "embedding_components_verified": _embedding_components_verified_sql(),
         "clean_corpus_verified_ids": _clean_corpus_verified_sql(),
+        "kmv_vocab_overlap": KMV_VOCAB_SQL,
+        "decontam_hits": DECONTAM_SQL,
+        "stratified_sample_docs": _stratified_sample_sql(),
         # no SQL oracle (estimates / probabilistic / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
         # minhash_candidates, simhash_pairs, ann_lsh,

@@ -1,0 +1,154 @@
+"""Benchmark decontamination (operators/decontam.py) and deterministic
+stratified sampling (operators/sampling.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from metaprofi_spark.operators.decontam import (
+    contamination_report,
+    drop_contaminated,
+    ngram_rows,
+    word_ngrams,
+)
+from metaprofi_spark.operators.sampling import rank_key, stratified_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _grams_py(text, n):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+class TestDecontam:
+    def test_word_ngrams_matches_python(self, spark):
+        texts = [
+            "The quick  Brown fox jumps",
+            "one two",            # shorter than n=3 -> empty, not a
+            "single",             # descending-sequence artifact
+            "",
+            "a b c",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = df.select(
+            "doc_id", word_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+        for r in rows:
+            assert set(r["g"]) == _grams_py(texts[r["doc_id"]], 3)
+
+    def test_contamination_report_matches_python(self, spark):
+        corpus_texts = {
+            1: "alpha beta gamma delta",
+            2: "beta gamma delta epsilon",
+            3: "nothing shared here at all",
+            4: "alpha beta gamma alpha beta gamma",  # dup grams count once
+        }
+        bench_texts = {100: "alpha beta gamma", 101: "gamma delta epsilon"}
+        corpus = spark.createDataFrame(
+            list(corpus_texts.items()), "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            list(bench_texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in contamination_report(corpus, bench, n=3).collect()
+        }
+        bench_grams = set().union(
+            *(_grams_py(t, 3) for t in bench_texts.values())
+        )
+        want = {
+            i: len(_grams_py(t, 3) & bench_grams)
+            for i, t in corpus_texts.items()
+            if _grams_py(t, 3) & bench_grams
+        }
+        assert got == want
+        cleaned = {
+            r["doc_id"]
+            for r in drop_contaminated(corpus, bench, n=3).collect()
+        }
+        assert cleaned == set(corpus_texts) - set(want)
+
+    def test_report_shuffles_only_on_doc_id(self, spark):
+        """The benchmark side must be broadcast: the corpus-side plan
+        has exactly ONE Exchange (the partial-agg count on id), no
+        sort-merge join of corpus grams against benchmark grams."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rep = contamination_report(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            n=3,
+        )
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def test_two_phase_equals_single_window(self, spark):
+        docs = self._docs(spark)
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(
+                docs, ["lang"], 7, "doc_id", seed=3
+            ).select("doc_id", "lang").collect()
+        }
+        w = Window.partitionBy("lang").orderBy(
+            rank_key("doc_id", 3), "doc_id"
+        )
+        want = {
+            (r["doc_id"], r["lang"])
+            for r in docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7)
+            .select("doc_id", "lang")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_quota_and_subset(self, spark):
+        docs = self._docs(spark)
+        sample = stratified_sample(docs, ["lang"], 5, "doc_id", seed=1)
+        counts = {
+            r["lang"]: r["n"]
+            for r in sample.groupBy("lang").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        sizes = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert counts == {g: min(5, n) for g, n in sizes.items()}
+        # sampled rows are real input rows (ids and langs agree)
+        assert sample.join(
+            docs.select("doc_id", "lang"), ["doc_id", "lang"], "left_anti"
+        ).count() == 0
+
+    def test_deterministic_across_partitioning(self, spark):
+        docs = self._docs(spark)
+        a = {
+            r["doc_id"]
+            for r in stratified_sample(docs, ["lang"], 9, seed=5).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.repartition(13), ["lang"], 9, seed=5
+            ).collect()
+        }
+        assert a == b
+
+    def test_seed_changes_sample(self, spark):
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 9, seed=5).collect()}
+        c = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 9, seed=6).collect()}
+        assert a != c  # 2^-128-ish collision odds; a failure means the
+        # seed is not reaching the rank key
