@@ -74,6 +74,66 @@ def contamination_report(
     )
 
 
+def benchmark_grams(
+    benchmark: DataFrame,
+    n: int,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """The benchmark's distinct word n-grams of length >= min_len,
+    collected to the driver — bounded by the EVAL-SUITE size (MBs),
+    never the corpus; the same boundedness class as the search
+    workbook's probe list (SCALE.md driver-materialization table)."""
+    rows = (
+        ngram_rows(benchmark, n, id_col, text_col)
+        .filter(F.length("gram") >= min_len)
+        .select("gram")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["gram"] for r in rows)
+
+
+def contamination_report_indexed(
+    spark,
+    index_df: DataFrame,
+    corpus: DataFrame,
+    grams: list[str],
+    cfg,
+    sample_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-accelerated decontamination: the Bloom bit-sliced index as
+    the contamination PREFILTER, exact `instr` containment as the
+    verify — per contaminated doc, (doc_id, n_hits) with n_hits =
+    #distinct benchmark grams contained in lower(text).
+
+    Two-tier shape (identical to bloom_substring_search): the t=100
+    index pass has zero false negatives, so the verify join touches
+    candidates only — the corpus is never grammed or shuffled at all,
+    which beats contamination_report when the corpus dwarfs the
+    benchmark and an index already exists (the persisted-store serving
+    case).  Semantics are SUBSTRING containment of the
+    single-space-normalized gram (matches mid-word too) — the
+    word-boundary variant is contamination_report.
+    """
+    from metaprofi_spark.operators.bloom_search import search
+
+    cand = search(
+        spark, index_df, [(g, g) for g in grams], cfg,
+        threshold=100, sample_bucket_size=sample_bucket_size,
+    )
+    return (
+        cand.withColumnRenamed("query_id", "gram")
+        .join(corpus, cand.sample_idx == corpus[id_col])
+        .filter(F.instr(F.lower(F.col(text_col)), F.col("gram")) > 0)
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
 def drop_contaminated(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1816,6 +1816,56 @@ GROUP BY g.doc_id
 """
 
 
+def decontam_index_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-backed decontamination tier: benchmark 3-grams probed
+    against the Bloom bit-sliced index (t=100, zero false negatives),
+    exact-verified by instr — the corpus is never grammed; only
+    candidates are touched.  Reuses the same memoized corpus index as
+    bloom_substring_search (the persisted-store serving shape)."""
+    from metaprofi_spark.operators.decontam import (
+        benchmark_grams,
+        contamination_report_indexed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = _memo_index(spark, sf_dir, QUERY_CFG, _BUCKET, "text",
+                      lambda: docs.select("doc_id", "text"))
+    is_bench = (F.col("doc_id") % DECONTAM_MOD) == DECONTAM_RES
+    grams = benchmark_grams(docs.filter(is_bench), DECONTAM_N, QUERY_CFG.k)
+    rep = contamination_report_indexed(
+        spark, idx, docs.filter(~is_bench), grams, QUERY_CFG, _BUCKET
+    )
+    return rep.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+DECONTAM_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ts[i : i + {DECONTAM_N} - 1], ' ') AS gram
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) - {DECONTAM_N} + 2)) AS i
+    FROM toks WHERE len(ts) >= {DECONTAM_N}
+  )
+),
+bgrams AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_RES}
+    AND length(gram) >= {QUERY_CFG.k}
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d
+JOIN bgrams g ON instr(lower(d.text), g.gram) > 0
+WHERE d.doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -1898,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "kmv_vocab_overlap": kmv_vocab_overlap,
         "decontam_hits": decontam_hits,
+        "decontam_index_hits": decontam_index_hits,
         "stratified_sample_docs": stratified_sample_docs,
     }
 
@@ -1946,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_verified_ids": _clean_corpus_verified_sql(),
         "kmv_vocab_overlap": KMV_VOCAB_SQL,
         "decontam_hits": DECONTAM_SQL,
+        "decontam_index_hits": DECONTAM_INDEX_SQL,
         "stratified_sample_docs": _stratified_sample_sql(),
         # no SQL oracle (estimates / probabilistic / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,

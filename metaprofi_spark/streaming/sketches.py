@@ -172,6 +172,54 @@ def streaming_kll_quantiles(
     )
 
 
+def streaming_kmv_distinct(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 8192,
+) -> DataFrame:
+    """Running KMV bottom-k distinct sketch per key: (key,
+    n_distinct_est, sketch), refreshed per micro-batch.
+
+    State per key = the serialized bottom-k hash vector (≤ 8k bytes) —
+    constant-size like the HLL twin, but the emitted SKETCH column
+    supports downstream SET OPERATIONS (kernels/kmv.py kmv_set_ops):
+    intersect/union the latest sketches of two keys to track, e.g.,
+    rolling audience overlap — the query streaming HLL cannot answer.
+    The estimate is exact while a key's distinct count stays under k
+    (pinned == batch kmv_agg by test)."""
+    from metaprofi_spark.kernels import kmv as K
+
+    out_schema = f"{key_col} string, n_distinct_est double, sketch binary"
+    state_schema = "blob binary"
+
+    def fn(key, pdfs, state: GroupState):
+        st = (
+            K.kmv_deserialize(bytes(state.get[0]))
+            if state.exists
+            else K.kmv_init()
+        )
+        for pdf in pdfs:
+            st = K.kmv_add(st, utf8_values(pdf[value_col]), k)
+        blob = K.kmv_serialize(st)
+        state.update((blob,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_distinct_est": [K.kmv_estimate(st, k)],
+                "sketch": [blob],
+            }
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_tdigest_centiles(
     stream_df: DataFrame,
     key_col: str,

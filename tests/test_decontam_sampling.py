@@ -72,6 +72,46 @@ class TestDecontam:
         }
         assert cleaned == set(corpus_texts) - set(want)
 
+    def test_indexed_tier_equals_direct_instr(self, spark):
+        """Index prefilter + instr verify == brute-force instr over the
+        whole corpus (zero false negatives at t=100; false positives
+        removed by the verify)."""
+        from metaprofi_spark.config import SketchConfig
+        from metaprofi_spark.operators import build_index, build_matrix
+        from metaprofi_spark.operators.decontam import (
+            benchmark_grams,
+            contamination_report_indexed,
+        )
+
+        cfg = SketchConfig(
+            k=8, h=2, m=1 << 16, chunk_bits=1 << 14, slice_buckets=8
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        is_bench = F.col("doc_id") % 10 == 3
+        corpus = docs.filter(~is_bench).select("doc_id", "text")
+        idx = build_index(
+            build_matrix(corpus, cfg, id_col="doc_id", text_col="text"),
+            cfg, sample_bucket_size=256,
+        )
+        grams = benchmark_grams(docs.filter(is_bench), 3, cfg.k)
+        assert grams
+        got = {
+            (r["doc_id"], r["n_hits"])
+            for r in contamination_report_indexed(
+                spark, idx, corpus, grams, cfg, 256
+            ).collect()
+        }
+        gdf = spark.createDataFrame([(g,) for g in grams], "gram string")
+        want = {
+            (r["doc_id"], r["n_hits"])
+            for r in corpus.crossJoin(F.broadcast(gdf))
+            .filter(F.instr(F.lower(F.col("text")), F.col("gram")) > 0)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_hits"))
+            .collect()
+        }
+        assert got == want and got
+
     def test_report_shuffles_only_on_doc_id(self, spark):
         """The benchmark side must be broadcast: the corpus-side plan
         has exactly ONE Exchange (the partial-agg count on id), no

@@ -141,6 +141,64 @@ def test_streaming_hll_equals_batch_fold(spark, events, tmp_path):
     assert got == expect and got
 
 
+def test_streaming_kmv_equals_batch_fold(spark, events, tmp_path):
+    """Streaming KMV (state = the bottom-k hash vector) must end at the
+    batch UDAF's sketch exactly — and the emitted sketches must support
+    cross-key set ops (the capability the HLL twin lacks)."""
+    import numpy as np
+
+    from metaprofi_spark.functions.sketch_agg import kmv_agg
+    from metaprofi_spark.kernels import kmv as K
+    from metaprofi_spark.streaming.sketches import streaming_kmv_distinct
+
+    src = str(tmp_path / "ev_kmv")
+    ev = events.select("event_type", F.col("user_id").cast("string").alias("uid"))
+    ev.filter(F.col("uid").cast("long") % 2 == 0).write.parquet(src + "/a")
+    ev.filter(F.col("uid").cast("long") % 2 == 1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_kmv_distinct(stream, "event_type", "uid", k=512)
+        .writeStream.format("memory")
+        .queryName("skmv")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by event_type order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from skmv)) where rn=1"
+    ).collect()
+    got = {r.event_type: (r.n_distinct_est, bytes(r.sketch)) for r in rows}
+    expect = {
+        r[0]: (r[1], bytes(r[2]))
+        for r in kmv_agg(ev, ["event_type"], "uid", k=512)
+        .select("event_type", "n_distinct_est", "sketch")
+        .collect()
+    }
+    assert got == expect and got
+    # cross-key set ops on the emitted sketches match exact set algebra
+    # (k=512 may saturate; compare only where both are exact)
+    uids = {
+        r.event_type: set(r.us)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("uid").alias("us"))
+        .collect()
+    }
+    types = sorted(got)
+    a, b = types[0], types[1]
+    sa, sb = K.kmv_deserialize(got[a][1]), K.kmv_deserialize(got[b][1])
+    if len(sa) < 512 and len(sb) < 512:
+        ops = K.kmv_set_ops(sa, sb, 512)
+        assert ops["intersection"] == len(uids[a] & uids[b])
+        assert ops["union"] == len(uids[a] | uids[b])
+
+
 def test_streaming_cms_equals_batch_fold(spark, events, tmp_path):
     """Streaming CMS state fold across micro-batches == batch cms_agg
     over the full input (same kernel, same watched-value estimates)."""
