@@ -340,6 +340,88 @@ def kmv_pairwise_ops(agg_df: DataFrame, group_col: str, k: int,
     )
 
 
+def mg_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 4096
+) -> DataFrame:
+    """Per-group Misra–Gries heavy-hitters sketch (kernels/mg.py):
+    (group..., n_counters long, decremented boolean, sketch binary).
+
+    Counts are EXACT while no partial ever exceeded k distinct values
+    (decremented = false — assertable, unlike CMS/HLL); otherwise each
+    count is within n/(k+1)-degraded MG bounds and every item above
+    that frequency is guaranteed present."""
+    from metaprofi_spark.kernels.mg import MGSketch
+
+    def new_acc():
+        return MGSketch(k)
+
+    def fold(acc: MGSketch, series: pd.Series):
+        acc.fold_series(series)
+
+    def merge_blobs(blobs):
+        sk = MGSketch.deserialize(blobs[0])
+        for b in blobs[1:]:
+            sk = sk.merge(MGSketch.deserialize(b))
+        return sk.serialize()
+
+    def finalize(blob):
+        sk = MGSketch.deserialize(blob)
+        return {"n_counters": len(sk.counters), "decremented": sk.decremented}
+
+    return _partial_final(
+        df, group_cols, value_col, new_acc, fold, merge_blobs,
+        "n_counters long, decremented boolean", finalize,
+    )
+
+
+def mg_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    topn: int,
+    k: int = 4096,
+    require_exact: bool = False,
+) -> DataFrame:
+    """Per-group top-n frequent values WITHOUT a watch list:
+    (group..., value string, cnt long, rank int), rank by count desc
+    then value asc (total order — deterministic).
+
+    require_exact raises if any partial decremented (counts would be
+    lower bounds, items below n/(k+1) possibly missing) — the gate
+    row's loud exact-tier guard."""
+    from metaprofi_spark.kernels.mg import MGSketch
+
+    agg = mg_agg(df, group_cols, value_col, k)
+    gddl = _group_ddl(df, group_cols)
+    schema = f"{gddl}, {value_col} string, cnt long, rank int"
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one merged-sketch row per group frame (see kll_quantiles)
+        rows = {c: [] for c in pdf.columns if c in set(group_cols)}
+        rows.update({value_col: [], "cnt": [], "rank": []})
+        for _, r in pdf.iterrows():
+            sk = MGSketch.deserialize(r["sketch"])
+            if require_exact and sk.decremented:
+                raise ValueError(
+                    f"mg exact tier requires <= k={k} distinct values "
+                    f"per partial; group {tuple(r[c] for c in group_cols)} "
+                    "decremented"
+                )
+            for rank, (v, c) in enumerate(sk.topk(topn), start=1):
+                for gc in group_cols:
+                    rows[gc].append(r[gc])
+                rows[value_col].append(v.decode("utf-8"))
+                rows["cnt"].append(c)
+                rows["rank"].append(rank)
+        return pd.DataFrame(
+            {c: rows[c] for c in (*group_cols, value_col, "cnt", "rank")}
+        )
+
+    return agg.groupBy(*group_cols).applyInPandas(
+        lambda key, pdf: expand(pdf), schema
+    )
+
+
 def kll_quantiles(
     df: DataFrame,
     group_cols: list[str],

@@ -1765,6 +1765,48 @@ LEFT JOIN shared sh ON sh.lang_a = sa.lang AND sh.lang_b = sb.lang
 """
 
 
+MG_TOPN, MG_K = 10, 64
+
+
+def mg_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 tokens via the Misra–Gries heavy-hitters
+    sketch (kernels/mg.py) — frequent items WITHOUT a watch list, the
+    question CMS cannot answer.  k=64 counters; the corpus vocabulary
+    (31/lang) keeps every partial undecremented, so counts are exact
+    (require_exact asserts it in-query — saturation fails the gate
+    loudly); degraded-tier bounds are pinned in tests/test_mg.py."""
+    from metaprofi_spark.functions.sketch_agg import mg_topk
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    return mg_topk(
+        toks, ["lang"], "token", MG_TOPN, k=MG_K, require_exact=True
+    )
+
+
+MG_TOPK_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY lang, token
+)
+SELECT lang, token, cnt,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rank
+FROM c
+QUALIFY rank <= {MG_TOPN}
+"""
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (operators/decontam.py) — n-gram overlap
 # sweep against a held-out eval set
@@ -1947,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_meta": multimodal_meta,
         "kmv_vocab_overlap": kmv_vocab_overlap,
+        "mg_token_topk": mg_token_topk,
         "decontam_hits": decontam_hits,
         "decontam_index_hits": decontam_index_hits,
         "stratified_sample_docs": stratified_sample_docs,
@@ -1996,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_components_verified": _embedding_components_verified_sql(),
         "clean_corpus_verified_ids": _clean_corpus_verified_sql(),
         "kmv_vocab_overlap": KMV_VOCAB_SQL,
+        "mg_token_topk": MG_TOPK_SQL,
         "decontam_hits": DECONTAM_SQL,
         "decontam_index_hits": DECONTAM_INDEX_SQL,
         "stratified_sample_docs": _stratified_sample_sql(),

@@ -220,6 +220,53 @@ def streaming_kmv_distinct(
     )
 
 
+def streaming_mg_topk(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    topn: int,
+    k: int = 4096,
+) -> DataFrame:
+    """Running Misra–Gries heavy hitters per key — the streaming top-n
+    WITHOUT a watch list (streaming_cms_topk needs one): (key, value,
+    cnt, rank), refreshed per micro-batch.
+
+    State per key = <= k counters; counts stay exact while the key's
+    distinct values never exceed k (pinned == batch mg_topk by test),
+    degrading to the MG n/(k+1) bound after."""
+    from metaprofi_spark.kernels.mg import MGSketch
+
+    out_schema = f"{key_col} string, {value_col} string, cnt long, rank int"
+    state_schema = "blob binary"
+
+    def fn(key, pdfs, state: GroupState):
+        sk = (
+            MGSketch.deserialize(bytes(state.get[0]))
+            if state.exists
+            else MGSketch(k)
+        )
+        for pdf in pdfs:
+            sk.fold_series(pdf[value_col])
+        state.update((sk.serialize(),))
+        top = sk.topk(topn)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                value_col: [v.decode("utf-8") for v, _ in top],
+                "cnt": pd.array([c for _, c in top], dtype="int64"),
+                "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
+            }
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_tdigest_centiles(
     stream_df: DataFrame,
     key_col: str,

@@ -199,6 +199,45 @@ def test_streaming_kmv_equals_batch_fold(spark, events, tmp_path):
         assert ops["union"] == len(uids[a] | uids[b])
 
 
+def test_streaming_mg_equals_batch_topk(spark, events, tmp_path):
+    """Streaming MG (state = the counter dict) must end at the batch
+    mg_topk answer exactly in the exact tier (distinct <= k)."""
+    from metaprofi_spark.functions.sketch_agg import mg_topk
+    from metaprofi_spark.streaming.sketches import streaming_mg_topk
+
+    src = str(tmp_path / "ev_mg")
+    ev = events.select(
+        "event_type", (F.col("user_id") % 37).cast("string").alias("uid")
+    )
+    ev.filter(F.col("user_id") % 2 == 0).write.parquet(src + "/a")
+    ev.filter(F.col("user_id") % 2 == 1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_mg_topk(stream, "event_type", "uid", topn=5, k=64)
+        .writeStream.format("memory")
+        .queryName("smg")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select event_type, uid, cnt, rank from (select *, row_number() over "
+        "(partition by event_type, rank order by mono desc) rn from "
+        "(select *, monotonically_increasing_id() mono from smg)) where rn=1"
+    ).collect()
+    got = {tuple(r) for r in rows}
+    want = {
+        tuple(r)
+        for r in mg_topk(ev, ["event_type"], "uid", 5, k=64).collect()
+    }
+    assert got == want and got
+
+
 def test_streaming_cms_equals_batch_fold(spark, events, tmp_path):
     """Streaming CMS state fold across micro-batches == batch cms_agg
     over the full input (same kernel, same watched-value estimates)."""
