@@ -187,7 +187,10 @@ def query_throughput(spark) -> dict[str, float]:
     return out, walls
 
 
-def sf_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+def sf_queries(spark) -> tuple[
+    dict[str, float], dict[str, list[float]],
+    dict[str, float], dict[str, list[float]],
+]:
     """Headline per-query timings at SF_DIR — same interleaved
     round-robin discipline as the query workbook (per-key min across
     reps, first pass is the warm pass and is recorded too)."""
@@ -206,15 +209,29 @@ def sf_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "text_stats",
         "fingerprint_groups",
     ]
+    # r5 additions, timed with the same discipline but NOT summed into
+    # the headline (headline keys stay comparable round-over-round)
+    extra = [
+        "kmv_vocab_overlap",
+        "mg_token_topk",
+        "decontam_hits",
+        "stratified_sample_docs",
+    ]
     reg = Q.queries()
-    walls: dict[str, list[float]] = {n: [] for n in names}
+    walls: dict[str, list[float]] = {n: [] for n in names + extra}
     for _ in range(QUERY_REPS):
-        for name in names:
+        for name in names + extra:
             t0 = time.time()
             n = reg[name](spark, SF_DIR).count()
             walls[name].append(round(time.time() - t0, 3))
             assert n >= 0
-    return {k: min(v) for k, v in walls.items()}, walls
+    mins = {k: min(v) for k, v in walls.items()}
+    return (
+        {k: mins[k] for k in names},
+        {k: walls[k] for k in names},
+        {k: mins[k] for k in extra},
+        {k: walls[k] for k in extra},
+    )
 
 
 def main() -> None:
@@ -265,7 +282,7 @@ def main() -> None:
 
     spark = get_spark(cores=CPUS, app_name="bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
-    queries, query_walls = sf_queries(spark)
+    queries, query_walls, extra_queries, extra_walls = sf_queries(spark)
     wb, wb_walls = query_throughput(spark)
     queries.update(wb)
     query_walls.update(wb_walls)
@@ -277,6 +294,8 @@ def main() -> None:
         value=round(sum(queries.values()), 3),
         queries=queries,
         query_walls=query_walls,  # per-rep distributions (audit trail)
+        extra_queries=extra_queries,  # r5 ops, NOT in the headline sum
+        extra_query_walls=extra_walls,
         query_reps=QUERY_REPS,
         kgram_insertions_per_sec=round(tput_hi, 0),
         bench_docs=BENCH_DOCS,
