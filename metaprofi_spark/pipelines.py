@@ -56,3 +56,49 @@ def clean_corpus(
         stats["n_after_quality"] = cleaned.count()
         stats["retention"] = round(stats["n_after_quality"] / max(stats["n_input"], 1), 4)
     return cleaned, stats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    min_quality: float = 0.3,
+    decontam_n: int = 3,
+    seed: int = 42,
+    n_perm: int = 64,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """The FULL training-data curation sweep:
+
+        clean_corpus (exact dedup -> near-dup -> quality floor)
+        -> benchmark decontamination (drop docs sharing word n-grams
+           with the eval set)
+        -> deterministic stratified quota sample
+
+    Every stage keeps its documented scale shape (one md5 shuffle /
+    linear star edges / pure map / broadcast gram join / two-phase
+    top-N) and the result is reproducible across engines and cluster
+    sizes (md5 rank keys, no rand()).  The hash-exact gate twin is
+    ``curated_sample_ids`` (verified-pair components + the whole chain
+    re-expressed in one DuckDB SQL)."""
+    from metaprofi_spark.operators.decontam import drop_contaminated
+    from metaprofi_spark.operators.sampling import stratified_sample
+
+    cleaned, stats = clean_corpus(
+        docs, min_quality, n_perm, bands, id_col, text_col, with_stats
+    )
+    decon = drop_contaminated(
+        cleaned, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+    )
+    if with_stats:
+        stats["n_after_decontam"] = decon.count()
+    sample = stratified_sample(
+        decon, strata_cols, n_per_stratum, id_col, seed=seed
+    )
+    if with_stats:
+        stats["n_sampled"] = sample.count()
+    return sample, stats

@@ -1342,6 +1342,131 @@ SELECT -1 AS doc_id FROM moved WHERE n > 0
 """
 
 
+CURATE_QUOTA = 15
+
+
+def curated_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation sweep under the hash gate — extends
+    clean_corpus_verified_ids by the round's two new stages:
+
+        planted exact dedup → verified near-dup components → quantized
+        quality floor → benchmark decontamination (word 3-grams vs the
+        doc_id%100==3 'eval' split) → deterministic per-lang quota
+        sample (md5 rank keys)
+
+    chained stage-for-stage in ONE oracle SQL.  This is the pipeline a
+    pre-training corpus actually runs, end-to-end, value-checked."""
+    import tempfile
+
+    from metaprofi_spark.functions.text import quality_score
+    from metaprofi_spark.operators.decontam import drop_contaminated
+    from metaprofi_spark.operators.dedup import (
+        drop_exact_duplicates,
+        verified_near_dup_components,
+    )
+    from metaprofi_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    is_bench = (F.col("doc_id") % DECONTAM_MOD) == DECONTAM_RES
+    corpus, bench = docs.filter(~is_bench), docs.filter(is_bench)
+    planted = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text", "lang"
+    )
+    # parquet-materialize stage 1 (the Spark 4.1 DeduplicateRelations
+    # workaround clean_corpus_verified_ids documents)
+    d1_path = tempfile.mkdtemp(prefix="curated_d1_") + "/d1.parquet"
+    drop_exact_duplicates(corpus.unionByName(planted)).write.mode(
+        "overwrite"
+    ).parquet(d1_path)
+    d1 = spark.read.parquet(d1_path)
+    labels = verified_near_dup_components(d1, JACCARD_TAU, 128, 32)
+    reps = labels.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    d2 = d1.join(reps, "doc_id", "left_semi")
+    q_micro = (
+        F.round(quality_score(F.col("text")).cast("double") * F.lit(1000000.0))
+        .cast("long")
+    )
+    d3 = d2.filter(q_micro >= 300000)
+    d4 = drop_contaminated(d3, bench, n=DECONTAM_N)
+    out = stratified_sample(
+        d4, ["lang"], CURATE_QUOTA, "doc_id", seed=SAMPLE_SEED
+    )
+    return out.select("doc_id", "lang")
+
+
+def _curated_sample_sql(rounds: int = 12) -> str:
+    from metaprofi_spark.operators.dedup import (
+        min_label_chain_sql,
+        ngram_jaccard_sql,
+    )
+
+    n = DECONTAM_N
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM documents
+  WHERE doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+),
+d0 AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang FROM corpus WHERE doc_id % 7 = 0
+),
+keep1 AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d0)
+  GROUP BY fp
+),
+d1 AS MATERIALIZED (SELECT d.doc_id, d.text, d.lang FROM d0 d JOIN keep1 USING (doc_id)),
+pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({ngram_jaccard_sql(JACCARD_TAU, source="d1")})),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM d1),
+{min_label_chain_sql(rounds)},
+d2 AS MATERIALIZED (
+  SELECT d1.doc_id, d1.text, d1.lang FROM d1 JOIN l{rounds} ON d1.doc_id = l{rounds}.id
+  WHERE l{rounds}.id = l{rounds}.lbl
+),
+q AS (SELECT * FROM ({_quality_micro_sql("d2")})),
+d3 AS MATERIALIZED (
+  SELECT d2.doc_id, d2.text, d2.lang FROM d2 JOIN q USING (doc_id)
+  WHERE q.q_micro >= 300000
+),
+btoks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_RES}
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(ts[i : i + {n} - 1], ' ') AS gram
+  FROM (SELECT ts, unnest(range(1, len(ts) - {n} + 2)) AS i
+        FROM btoks WHERE len(ts) >= {n})
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM d3
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i : i + {n} - 1], ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {n} + 2)) AS i
+        FROM ctoks WHERE len(ts) >= {n})
+),
+bad AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)),
+d4 AS MATERIALIZED (
+  SELECT d3.doc_id, d3.lang FROM d3 LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM d4
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5(concat('{SAMPLE_SEED}', ':', CAST(doc_id AS VARCHAR))), doc_id
+) <= {CURATE_QUOTA}
+UNION ALL
+SELECT -1 AS doc_id, 'SENTINEL' AS lang FROM moved WHERE n > 0
+"""
+
+
 def clean_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pre-training sweep (exact dedup -> near-dup
     components -> quality floor) projected to surviving doc ids —
@@ -1973,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_components_verified": embedding_components_verified,
         "clean_corpus_ids": clean_corpus_ids,
         "clean_corpus_verified_ids": clean_corpus_verified_ids,
+        "curated_sample_ids": curated_sample_ids,
         "simhash_pairs": simhash_pairs,
         "knn_quantized": knn_quantized,
         "ann_lsh": ann_lsh,
@@ -2038,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups_verified": _near_dup_groups_verified_sql(),
         "embedding_components_verified": _embedding_components_verified_sql(),
         "clean_corpus_verified_ids": _clean_corpus_verified_sql(),
+        "curated_sample_ids": _curated_sample_sql(),
         "kmv_vocab_overlap": KMV_VOCAB_SQL,
         "mg_token_topk": MG_TOPK_SQL,
         "decontam_hits": DECONTAM_SQL,

@@ -186,6 +186,39 @@ class TestStratifiedSample:
         }
         assert a == b
 
+    def test_curate_corpus_composition(self, spark):
+        """curate_corpus == clean_corpus -> drop_contaminated ->
+        stratified_sample, stage for stage, with monotone stats."""
+        from metaprofi_spark.operators.decontam import drop_contaminated
+        from metaprofi_spark.operators.sampling import stratified_sample
+        from metaprofi_spark.pipelines import clean_corpus, curate_corpus
+
+        docs = self._docs(spark).select("doc_id", "text", "lang")
+        bench = docs.filter(F.col("doc_id") % 10 == 3)
+        corpus = docs.filter(F.col("doc_id") % 10 != 3)
+        sample, stats = curate_corpus(
+            corpus, bench, ["lang"], 5, decontam_n=3, seed=11
+        )
+        got = {r["doc_id"] for r in sample.collect()}
+        cleaned, _ = clean_corpus(corpus, with_stats=False)
+        want = {
+            r["doc_id"]
+            for r in stratified_sample(
+                drop_contaminated(cleaned, bench, n=3), ["lang"], 5,
+                seed=11,
+            ).collect()
+        }
+        assert got == want and got
+        assert (
+            stats["n_input"]
+            >= stats["n_after_exact_dedup"]
+            >= stats["n_after_near_dedup"]
+            >= stats["n_after_quality"]
+            >= stats["n_after_decontam"]
+            >= stats["n_sampled"]
+            == len(got)
+        )
+
     def test_seed_changes_sample(self, spark):
         docs = self._docs(spark)
         a = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 9, seed=5).collect()}
