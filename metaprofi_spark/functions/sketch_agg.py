@@ -309,9 +309,9 @@ def kmv_pairwise_ops(agg_df: DataFrame, group_col: str, k: int,
     shard) are collected to the driver and combined pairwise in numpy;
     this is the theta-sketch serving shape: set algebra happens on
     merged synopses AFTER the one distributed pass, never by
-    re-shuffling raw values.  Bounded by #groups² blobs, independent
-    of corpus size.  Estimates are exact when both sketches are
-    unsaturated (kernels/kmv.py)."""
+    re-shuffling raw values.  Bounded by #groups collected blobs and
+    #groups² pairwise ops, independent of corpus size.  Estimates are
+    exact when both sketches are unsaturated (kernels/kmv.py)."""
     from metaprofi_spark.kernels import kmv as K
 
     rows = agg_df.select(group_col, "sketch").collect()
