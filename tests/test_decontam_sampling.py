@@ -1,8 +1,11 @@
 """Benchmark decontamination (operators/decontam.py) and deterministic
 stratified sampling (operators/sampling.py)."""
 
+import hashlib
+
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Window
 
 from metaprofi_spark.operators.decontam import (
@@ -19,6 +22,14 @@ SF_DIR = "/root/testdata/sf0.001"
 def _grams_py(text, n):
     toks = [t for t in text.lower().split() if t]
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _ngram_list(text, n):
+    """Ordered oracle twin of word_ngrams (regex \\s+ split, empties
+    dropped, lowercase) — str.split() without args == split on \\s+
+    runs with empties removed."""
+    toks = [t for t in text.lower().split() if t]
+    return [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))]
 
 
 class TestDecontam:
@@ -71,6 +82,30 @@ class TestDecontam:
             for r in drop_contaminated(corpus, bench, n=3).collect()
         }
         assert cleaned == set(corpus_texts) - set(want)
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "", "d e"]), max_size=8),
+            min_size=1, max_size=10,
+        ),
+        st.integers(2, 4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_word_ngrams_hypothesis(self, spark, docs_toks, n):
+        """Random token lists (including empties and tokens containing
+        spaces — the join/split asymmetry trap): word_ngrams == the
+        python oracle for every doc and every n."""
+        texts = ["  ".join(toks) for toks in docs_toks]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = df.select(
+            "doc_id", word_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+        for r in rows:
+            assert list(r["g"]) == _ngram_list(texts[r["doc_id"]], n), (
+                r["doc_id"], n
+            )
 
     def test_indexed_tier_equals_direct_instr(self, spark):
         """Index prefilter + instr verify == brute-force instr over the
@@ -218,6 +253,47 @@ class TestStratifiedSample:
             >= stats["n_sampled"]
             == len(got)
         )
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 400), st.integers(0, 4)),
+            max_size=60, unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 6),   # quota
+        st.integers(1, 5),   # salt groups
+        st.integers(0, 3),   # seed
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_two_phase_matches_python_oracle(
+        self, spark, rows, n, salt, seed
+    ):
+        """Random (id, stratum) sets, quotas, salts, seeds: the
+        two-phase sample == a pure-python per-stratum sort on
+        (md5 key, id) — pins the superset guarantee (including empty
+        strata, quota > stratum size, salt > #rows)."""
+        from metaprofi_spark.operators.sampling import stratified_sample
+
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            [(i, str(g)) for i, g in rows], "doc_id long, lang string"
+        )
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(
+                df, ["lang"], n, "doc_id", seed=seed, salt=salt
+            ).collect()
+        }
+        by_g: dict = {}
+        for i, g in rows:
+            key = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            by_g.setdefault(str(g), []).append((key, i))
+        want = {
+            (i, g)
+            for g, ks in by_g.items()
+            for _, i in sorted(ks)[:n]
+        }
+        assert got == want
 
     def test_seed_changes_sample(self, spark):
         docs = self._docs(spark)
