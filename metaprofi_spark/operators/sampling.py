@@ -60,6 +60,48 @@ def stratified_sample(
     )
 
 
+def budget_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """TOKEN-BUDGET sampling — how pre-training mixtures are actually
+    cut ("2B tokens of lang X"), not doc counts: per stratum, keep
+    docs in md5-hash order until the cumulative token count reaches
+    the budget.  A doc is kept iff the token sum of all hash-earlier
+    docs in its stratum is < budget (the budget-crossing doc is
+    included, so the sample always covers >= budget tokens when the
+    stratum has them).  Deterministic across engines and partitionings
+    like stratified_sample.
+
+    Scale shape: the exact prefix sum needs ONE ordered pass per
+    stratum (window over partitionBy(strata)) — a sort-shuffle where
+    each stratum lands on one reducer.  Fine for the usual dozens-of-
+    strata mixtures; for one giant stratum the scalable variant is
+    threshold estimation (hash is uniform, so docs with hash < theta ≈
+    budget/total_tokens hit the budget in expectation; binary-search
+    theta over pre-aggregated hash-range token sums) at the cost of
+    exact-boundary determinism — documented, not implemented, because
+    the budget boundary then depends on estimation rounds."""
+    from metaprofi_spark.functions.text import token_count
+
+    key = rank_key(id_col, seed).alias("_rk")
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("_rk", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select("*", key, token_count(F.col(text_col)).cast("long").alias("_nt"))
+        .withColumn("_cum_before", F.coalesce(F.sum("_nt").over(w), F.lit(0)))
+        .filter(F.col("_cum_before") < token_budget)
+        .drop("_rk", "_nt", "_cum_before")
+    )
+
+
 def stratified_sample_sql(
     table: str,
     strata_cols: list[str],

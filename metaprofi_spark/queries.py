@@ -2053,6 +2053,39 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+TOKEN_BUDGET = 2000
+
+
+def budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKEN-BUDGET sample (operators/sampling.py
+    budget_sample): docs in md5-hash order until 2000 cumulative
+    tokens per lang — the 'N tokens of each language' mixture cut,
+    value-checked against the window-SQL twin."""
+    from metaprofi_spark.operators.sampling import budget_sample
+
+    docs = _docs(spark, sf_dir)
+    return budget_sample(
+        docs, ["lang"], TOKEN_BUDGET, "doc_id", seed=SAMPLE_SEED
+    ).select("doc_id", "lang")
+
+
+BUDGET_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
+         md5(concat('{SAMPLE_SEED}', ':', CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         COALESCE(SUM(nt) OVER (
+           PARTITION BY lang ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+) WHERE cumb < {TOKEN_BUDGET}
+"""
+
+
 def _stratified_sample_sql() -> str:
     from metaprofi_spark.operators.sampling import stratified_sample_sql
 
@@ -2119,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_hits": decontam_hits,
         "decontam_index_hits": decontam_index_hits,
         "stratified_sample_docs": stratified_sample_docs,
+        "budget_sample_docs": budget_sample_docs,
     }
 
 
@@ -2170,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_hits": DECONTAM_SQL,
         "decontam_index_hits": DECONTAM_INDEX_SQL,
         "stratified_sample_docs": _stratified_sample_sql(),
+        "budget_sample_docs": BUDGET_SAMPLE_SQL,
         # no SQL oracle (estimates / probabilistic / stub):
         # hll_distinct_per_lang, cms_token_freq, kll_doclen_quantiles,
         # minhash_candidates, simhash_pairs, ann_lsh,

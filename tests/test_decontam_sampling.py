@@ -221,6 +221,85 @@ class TestStratifiedSample:
         }
         assert a == b
 
+    def test_budget_sample_covers_budget_minimally(self, spark):
+        """Kept docs' tokens reach the budget wherever the stratum can
+        (coverage), and dropping the hash-LAST kept doc falls below it
+        (minimality) — per stratum."""
+        from metaprofi_spark.functions.text import token_count
+        from metaprofi_spark.operators.sampling import budget_sample, rank_key
+
+        docs = self._docs(spark).select("doc_id", "text", "lang")
+        budget = 1500
+        kept = budget_sample(docs, ["lang"], budget, seed=3).select(
+            "doc_id", "lang",
+            token_count(F.col("text")).cast("long").alias("nt"),
+            rank_key("doc_id", 3).alias("rk"),
+        )
+        totals = {
+            r["lang"]: (r["t"], r["n"])
+            for r in docs.groupBy("lang")
+            .agg(
+                F.sum(token_count(F.col("text")).cast("long")).alias("t"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        rows = kept.collect()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert set(by_lang) == set(totals)
+        for lang, rs in by_lang.items():
+            s = sum(r["nt"] for r in rs)
+            total_toks, total_docs = totals[lang]
+            if total_toks >= budget:
+                assert s >= budget, lang
+                last = max(rs, key=lambda r: (r["rk"], r["doc_id"]))
+                assert s - last["nt"] < budget, lang
+            else:
+                assert len(rs) == total_docs, lang  # whole stratum kept
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 300),      # id
+                st.integers(0, 2),        # stratum
+                st.integers(0, 6),        # token count
+            ),
+            max_size=40, unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 12),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_budget_sample_matches_python_oracle(self, spark, rows, budget):
+        """Random (id, stratum, n_tokens): budget_sample == the python
+        prefix-sum oracle, including zero-token docs (kept for free
+        while budget remains) and strata below the budget."""
+        from metaprofi_spark.operators.sampling import budget_sample
+
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            [(i, str(g), " ".join(["tok"] * nt)) for i, g, nt in rows],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in budget_sample(df, ["lang"], budget, seed=2).collect()
+        }
+        by_g: dict = {}
+        for i, g, nt in rows:
+            key = hashlib.md5(f"2:{i}".encode()).hexdigest()
+            by_g.setdefault(str(g), []).append((key, i, nt))
+        want = set()
+        for g, ks in by_g.items():
+            cum = 0
+            for _, i, nt in sorted(ks):
+                if cum < budget:
+                    want.add(i)
+                cum += nt
+        assert got == want
+
     def test_curate_corpus_composition(self, spark):
         """curate_corpus == clean_corpus -> drop_contaminated ->
         stratified_sample, stage for stage, with monotone stats."""
