@@ -124,6 +124,29 @@ def main(argv: list[str] | None = None) -> int:
     common(rb)
     rb.add_argument("--snapshot", type=int, required=True)
 
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation sweep: exact dedup -> near-dup "
+             "dedup -> quality floor -> optional benchmark "
+             "decontamination -> deterministic stratified sample "
+             "(doc quota or token budget); writes the sampled parquet "
+             "and prints per-stage retention stats",
+    )
+    cu.add_argument("--input", required=True, help="corpus parquet")
+    cu.add_argument("--output", required=True, help="sampled parquet out")
+    cu.add_argument("--benchmark",
+                    help="eval-set parquet to decontaminate against (omit to skip)")
+    cu.add_argument("--strata", default="lang", help="comma-separated stratum columns")
+    quota = cu.add_mutually_exclusive_group(required=True)
+    quota.add_argument("--per-stratum", type=int, help="doc quota per stratum")
+    quota.add_argument("--token-budget", type=int, help="token budget per stratum")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--decontam-n", type=int, default=3)
+    cu.add_argument("--seed", type=int, default=42)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--cores", default="*")
+
     args = p.parse_args(argv)
     if args.cmd == "delete" and not (args.sample_ids or args.sample_names):
         # argparse usage error, not api.delete's ValueError traceback
@@ -241,6 +264,40 @@ def main(argv: list[str] | None = None) -> int:
                 "tombstones": manifest["tombstones"],
                 "delete_count": manifest["delete_count"],
             }))
+        elif args.cmd == "curate":
+            from metaprofi_spark.operators.decontam import drop_contaminated
+            from metaprofi_spark.operators.sampling import (
+                budget_sample,
+                stratified_sample,
+            )
+            from metaprofi_spark.pipelines import clean_corpus
+
+            docs = spark.read.parquet(args.input)
+            strata = args.strata.split(",")
+            cleaned, stats = clean_corpus(
+                docs, args.min_quality,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            if args.benchmark:
+                cleaned = drop_contaminated(
+                    cleaned, spark.read.parquet(args.benchmark),
+                    n=args.decontam_n,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                stats["n_after_decontam"] = cleaned.count()
+            if args.per_stratum:
+                sample = stratified_sample(
+                    cleaned, strata, args.per_stratum, args.id_col,
+                    seed=args.seed,
+                )
+            else:
+                sample = budget_sample(
+                    cleaned, strata, args.token_budget, args.id_col,
+                    args.text_col, seed=args.seed,
+                )
+            sample.write.mode("overwrite").parquet(args.output)
+            stats["n_sampled"] = spark.read.parquet(args.output).count()
+            print(json.dumps(stats))
         elif args.cmd == "rollback":
             manifest = api.rollback(args.store, args.snapshot)
             print(json.dumps({

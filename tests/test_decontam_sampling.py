@@ -374,6 +374,46 @@ class TestStratifiedSample:
         }
         assert got == want
 
+    def test_cli_curate_end_to_end(self, spark, tmp_path, capsys):
+        """`python -m metaprofi_spark curate` == the library pipeline,
+        in both quota modes, with stats on stdout."""
+        import json
+
+        from metaprofi_spark.__main__ import main
+        from metaprofi_spark.operators.decontam import drop_contaminated
+        from metaprofi_spark.operators.sampling import stratified_sample
+        from metaprofi_spark.pipelines import clean_corpus
+
+        docs = self._docs(spark).select("doc_id", "text", "lang")
+        corpus_p = str(tmp_path / "corpus.parquet")
+        bench_p = str(tmp_path / "bench.parquet")
+        out_p = str(tmp_path / "out.parquet")
+        docs.filter(F.col("doc_id") % 10 != 3).write.parquet(corpus_p)
+        docs.filter(F.col("doc_id") % 10 == 3).write.parquet(bench_p)
+        rc = main([
+            "curate", "--input", corpus_p, "--output", out_p,
+            "--benchmark", bench_p, "--strata", "lang",
+            "--per-stratum", "4", "--seed", "9",
+        ])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+        cleaned, _ = clean_corpus(
+            spark.read.parquet(corpus_p), with_stats=False
+        )
+        want = {
+            r["doc_id"]
+            for r in stratified_sample(
+                drop_contaminated(
+                    cleaned, spark.read.parquet(bench_p), n=3
+                ),
+                ["lang"], 4, seed=9,
+            ).collect()
+        }
+        assert got == want and got
+        assert stats["n_sampled"] == len(got)
+        assert stats["n_input"] >= stats["n_after_decontam"] >= len(got)
+
     def test_seed_changes_sample(self, spark):
         docs = self._docs(spark)
         a = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 9, seed=5).collect()}
