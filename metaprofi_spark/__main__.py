@@ -137,9 +137,20 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--benchmark",
                     help="eval-set parquet to decontaminate against (omit to skip)")
     cu.add_argument("--strata", default="lang", help="comma-separated stratum columns")
+    def _positive(s: str) -> int:
+        v = int(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError("must be a positive integer")
+        return v
+
     quota = cu.add_mutually_exclusive_group(required=True)
-    quota.add_argument("--per-stratum", type=int, help="doc quota per stratum")
-    quota.add_argument("--token-budget", type=int, help="token budget per stratum")
+    quota.add_argument("--per-stratum", type=_positive,
+                       help="doc quota per stratum")
+    quota.add_argument("--token-budget", type=_positive,
+                       help="token budget per stratum")
+    cu.add_argument("--no-stats", action="store_true",
+                    help="skip per-stage retention counts (one lazy plan; "
+                         "the dedup chain executes once instead of per-count)")
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--decontam-n", type=int, default=3)
     cu.add_argument("--seed", type=int, default=42)
@@ -277,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
             cleaned, stats = clean_corpus(
                 docs, args.min_quality,
                 id_col=args.id_col, text_col=args.text_col,
+                with_stats=not args.no_stats,
             )
             if args.benchmark:
                 cleaned = drop_contaminated(
@@ -284,8 +296,12 @@ def main(argv: list[str] | None = None) -> int:
                     n=args.decontam_n,
                     id_col=args.id_col, text_col=args.text_col,
                 )
-                stats["n_after_decontam"] = cleaned.count()
-            if args.per_stratum:
+                if not args.no_stats:
+                    # persist before the count so the dedup chain does
+                    # not re-execute for the count AND the sample write
+                    cleaned = cleaned.persist()
+                    stats["n_after_decontam"] = cleaned.count()
+            if args.per_stratum is not None:
                 sample = stratified_sample(
                     cleaned, strata, args.per_stratum, args.id_col,
                     seed=args.seed,

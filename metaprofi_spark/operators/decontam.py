@@ -23,13 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from metaprofi_spark.functions.text import tokens_col
+
 
 def word_ngrams(text_col, n: int):
     """Column expression: array of space-joined word n-grams of
     lower(text), whitespace-tokenized, empties dropped.  Docs with
     fewer than n tokens yield an empty array (the sequence() guard —
     Spark's sequence(0, negative) would COUNT DOWN, not stay empty)."""
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    toks = tokens_col(F.lower(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),

@@ -1264,37 +1264,30 @@ SELECT -1 AS vec_id, -1 AS comp FROM moved WHERE n > 0
 """
 
 
-def clean_corpus_verified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pre-training sweep under the HASH gate: exact dedup
-    → verified near-dup components (keep each component's min id) →
-    quantized quality floor, chained stage-for-stage in the oracle SQL
-    — the verified twin of clean_corpus_ids (whose near-dup stage uses
-    the collision graph, not SQL-expressible).
+def _verified_clean_survivors(spark: SparkSession, docs: DataFrame,
+                              prefix: str) -> DataFrame:
+    """The verified composed-sweep stage chain SHARED by
+    clean_corpus_verified_ids and curated_sample_ids (one source of
+    truth — a fix to any stage reaches both gate twins): plant exact
+    duplicates (every 7th doc mirrored at doc_id+10000) → exact dedup,
+    parquet-materialized (the Spark 4.1 DeduplicateRelations
+    workaround documented below) → verified near-dup components, keep
+    each component's min-id rep → integer-micro-unit quality floor
+    (>= 300000).  Carries every input column; ``docs`` must have
+    doc_id + text."""
+    import tempfile
 
-    The corpus carries no exact duplicates at gate scale, so the query
-    PLANTS deterministic ones (every 7th doc mirrored at doc_id+10000,
-    the simhash_verified_pairs trick) to make stage 1 non-vacuous; the
-    quality floor compares integer micro-units (q_micro >= 300000) on
-    both engines so the float-boundary gotcha cannot bite."""
     from metaprofi_spark.functions.text import quality_score
     from metaprofi_spark.operators.dedup import (
         drop_exact_duplicates,
         verified_near_dup_components,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = [c for c in docs.columns if c != "doc_id"]
     planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(10000)).alias("doc_id"), *extra
     )
-    # materialize the exact-dedup survivors to parquet and re-read:
-    # the component step fans out over d1 twice (edges + nodes), and a
-    # reused union+semi-join (or localCheckpoint LogicalRDD) relation
-    # trips Spark 4.1's DeduplicateRelations inside the propagation
-    # loop's checkpoint (AttributeMap "key not found"); a parquet scan
-    # — like every other gate fixture — planes it away
-    import tempfile
-
-    d1_path = tempfile.mkdtemp(prefix="clean_corpus_d1_") + "/d1.parquet"
+    d1_path = tempfile.mkdtemp(prefix=prefix) + "/d1.parquet"
     drop_exact_duplicates(docs.unionByName(planted)).write.mode(
         "overwrite"
     ).parquet(d1_path)
@@ -1308,35 +1301,87 @@ def clean_corpus_verified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(F.col("text")).cast("double") * F.lit(1000000.0))
         .cast("long")
     )
-    return survivors.filter(q_micro >= 300000).select("doc_id")
+    return survivors.filter(q_micro >= 300000)
 
 
-def _clean_corpus_verified_sql(rounds: int = 12) -> str:
-    from metaprofi_spark.operators.dedup import min_label_chain_sql, ngram_jaccard_sql
+def _verified_chain_prefix(corpus_sql: str, cols: list[str],
+                           rounds: int = 12) -> str:
+    """The matching DuckDB CTE prefix (corpus → d0 planted → keep1/d1
+    exact dedup → pairs/e/l0 + min-label chain → d2 component reps →
+    q/d3 quality floor), shared by both composed-sweep oracles.
+    ``corpus_sql`` must project doc_id plus ``cols``.  Ends with the
+    d3 CTE (no trailing comma); the min-label chain also defines the
+    ``moved`` convergence sentinel the caller must consume."""
+    from metaprofi_spark.operators.dedup import (
+        min_label_chain_sql,
+        ngram_jaccard_sql,
+    )
 
-    return f"""
-WITH d0 AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
+    cl = ", ".join(cols)
+    d_cl = ", ".join(f"d.{c}" for c in cols)
+    d1_cl = ", ".join(f"d1.{c}" for c in cols)
+    d2_cl = ", ".join(f"d2.{c}" for c in cols)
+    return f"""corpus AS MATERIALIZED ({corpus_sql}),
+d0 AS MATERIALIZED (
+  SELECT doc_id, {cl} FROM corpus
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 10000 AS doc_id, {cl} FROM corpus WHERE doc_id % 7 = 0
 ),
 keep1 AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id
   FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d0)
   GROUP BY fp
 ),
-d1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM d0 d JOIN keep1 USING (doc_id)),
+d1 AS MATERIALIZED (SELECT d.doc_id, {d_cl} FROM d0 d JOIN keep1 USING (doc_id)),
 pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({ngram_jaccard_sql(JACCARD_TAU, source="d1")})),
 e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
 l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM d1),
 {min_label_chain_sql(rounds)},
 d2 AS MATERIALIZED (
-  SELECT d1.doc_id, d1.text FROM d1 JOIN l{rounds} ON d1.doc_id = l{rounds}.id
+  SELECT d1.doc_id, {d1_cl} FROM d1 JOIN l{rounds} ON d1.doc_id = l{rounds}.id
   WHERE l{rounds}.id = l{rounds}.lbl
 ),
-q AS (SELECT * FROM ({_quality_micro_sql("d2")}))
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM q WHERE q_micro >= 300000
+q AS (SELECT * FROM ({_quality_micro_sql("d2")})),
+d3 AS MATERIALIZED (
+  SELECT d2.doc_id, {d2_cl} FROM d2 JOIN q USING (doc_id)
+  WHERE q.q_micro >= 300000
+)"""
+
+
+def clean_corpus_verified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training sweep under the HASH gate: exact dedup
+    → verified near-dup components (keep each component's min id) →
+    quantized quality floor, chained stage-for-stage in the oracle SQL
+    — the verified twin of clean_corpus_ids (whose near-dup stage uses
+    the collision graph, not SQL-expressible).
+
+    The corpus carries no exact duplicates at gate scale, so the query
+    PLANTS deterministic ones (every 7th doc mirrored at doc_id+10000,
+    the simhash_verified_pairs trick) to make stage 1 non-vacuous; the
+    quality floor compares integer micro-units (q_micro >= 300000) on
+    both engines so the float-boundary gotcha cannot bite.
+
+    Stage-1 materialization note (lives in _verified_clean_survivors):
+    the exact-dedup survivors go to parquet and are re-read because the
+    component step fans out over d1 twice (edges + nodes), and a reused
+    union+semi-join (or localCheckpoint LogicalRDD) relation trips
+    Spark 4.1's DeduplicateRelations inside the propagation loop's
+    checkpoint (AttributeMap "key not found"); a parquet scan — like
+    every other gate fixture — planes it away."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return _verified_clean_survivors(
+        spark, docs, "clean_corpus_d1_"
+    ).select("doc_id")
+
+
+def _clean_corpus_verified_sql(rounds: int = 12) -> str:
+    prefix = _verified_chain_prefix(
+        "SELECT doc_id, text FROM documents", ["text"], rounds
+    )
+    return f"""
+WITH {prefix}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM d3
 UNION ALL
 SELECT -1 AS doc_id FROM moved WHERE n > 0
 """
@@ -1355,40 +1400,16 @@ def curated_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample (md5 rank keys)
 
     chained stage-for-stage in ONE oracle SQL.  This is the pipeline a
-    pre-training corpus actually runs, end-to-end, value-checked."""
-    import tempfile
-
-    from metaprofi_spark.functions.text import quality_score
+    pre-training corpus actually runs, end-to-end, value-checked.
+    The first three stages are _verified_clean_survivors — the SAME
+    code clean_corpus_verified_ids gates."""
     from metaprofi_spark.operators.decontam import drop_contaminated
-    from metaprofi_spark.operators.dedup import (
-        drop_exact_duplicates,
-        verified_near_dup_components,
-    )
     from metaprofi_spark.operators.sampling import stratified_sample
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     is_bench = (F.col("doc_id") % DECONTAM_MOD) == DECONTAM_RES
     corpus, bench = docs.filter(~is_bench), docs.filter(is_bench)
-    planted = corpus.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text", "lang"
-    )
-    # parquet-materialize stage 1 (the Spark 4.1 DeduplicateRelations
-    # workaround clean_corpus_verified_ids documents)
-    d1_path = tempfile.mkdtemp(prefix="curated_d1_") + "/d1.parquet"
-    drop_exact_duplicates(corpus.unionByName(planted)).write.mode(
-        "overwrite"
-    ).parquet(d1_path)
-    d1 = spark.read.parquet(d1_path)
-    labels = verified_near_dup_components(d1, JACCARD_TAU, 128, 32)
-    reps = labels.filter(F.col("id") == F.col("comp")).select(
-        F.col("id").alias("doc_id")
-    )
-    d2 = d1.join(reps, "doc_id", "left_semi")
-    q_micro = (
-        F.round(quality_score(F.col("text")).cast("double") * F.lit(1000000.0))
-        .cast("long")
-    )
-    d3 = d2.filter(q_micro >= 300000)
+    d3 = _verified_clean_survivors(spark, corpus, "curated_d1_")
     d4 = drop_contaminated(d3, bench, n=DECONTAM_N)
     out = stratified_sample(
         d4, ["lang"], CURATE_QUOTA, "doc_id", seed=SAMPLE_SEED
@@ -1397,42 +1418,14 @@ def curated_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curated_sample_sql(rounds: int = 12) -> str:
-    from metaprofi_spark.operators.dedup import (
-        min_label_chain_sql,
-        ngram_jaccard_sql,
-    )
-
     n = DECONTAM_N
+    prefix = _verified_chain_prefix(
+        f"SELECT doc_id, text, lang FROM documents "
+        f"WHERE doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}",
+        ["text", "lang"], rounds,
+    )
     return f"""
-WITH corpus AS MATERIALIZED (
-  SELECT doc_id, text, lang FROM documents
-  WHERE doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
-),
-d0 AS MATERIALIZED (
-  SELECT doc_id, text, lang FROM corpus
-  UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text, lang FROM corpus WHERE doc_id % 7 = 0
-),
-keep1 AS MATERIALIZED (
-  SELECT min(doc_id) AS doc_id
-  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d0)
-  GROUP BY fp
-),
-d1 AS MATERIALIZED (SELECT d.doc_id, d.text, d.lang FROM d0 d JOIN keep1 USING (doc_id)),
-pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({ngram_jaccard_sql(JACCARD_TAU, source="d1")})),
-e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM d1),
-{min_label_chain_sql(rounds)},
-d2 AS MATERIALIZED (
-  SELECT d1.doc_id, d1.text, d1.lang FROM d1 JOIN l{rounds} ON d1.doc_id = l{rounds}.id
-  WHERE l{rounds}.id = l{rounds}.lbl
-),
-q AS (SELECT * FROM ({_quality_micro_sql("d2")})),
-d3 AS MATERIALIZED (
-  SELECT d2.doc_id, d2.text, d2.lang FROM d2 JOIN q USING (doc_id)
-  WHERE q.q_micro >= 300000
-),
+WITH {prefix},
 btoks AS (
   SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
   FROM documents WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_RES}
@@ -1845,11 +1838,12 @@ def kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of silently hash-mismatching); the estimate tier's error
     bounds are pinned in tests/test_kmv.py."""
     from metaprofi_spark.functions.sketch_agg import kmv_agg, kmv_pairwise_ops
+    from metaprofi_spark.functions.text import tokens_col
 
     toks = _docs(spark, sf_dir).select(
         "lang",
         F.explode(
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            tokens_col(F.lower(F.col("text")))
         ).alias("token"),
     )
     agg = kmv_agg(toks, ["lang"], "token", k=KMV_K)
@@ -1901,11 +1895,12 @@ def mg_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (require_exact asserts it in-query — saturation fails the gate
     loudly); degraded-tier bounds are pinned in tests/test_mg.py."""
     from metaprofi_spark.functions.sketch_agg import mg_topk
+    from metaprofi_spark.functions.text import tokens_col
 
     toks = _docs(spark, sf_dir).select(
         "lang",
         F.explode(
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            tokens_col(F.lower(F.col("text")))
         ).alias("token"),
     )
     return mg_topk(

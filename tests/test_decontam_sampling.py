@@ -374,6 +374,19 @@ class TestStratifiedSample:
         }
         assert got == want
 
+    def test_cli_curate_rejects_nonpositive_quota(self, tmp_path):
+        """--per-stratum 0 must be an argparse usage error (exit 2),
+        not a silent fall-through into the token-budget branch."""
+        from metaprofi_spark.__main__ import main
+
+        for flag in ("--per-stratum", "--token-budget"):
+            with pytest.raises(SystemExit) as e:
+                main([
+                    "curate", "--input", "x.parquet", "--output",
+                    str(tmp_path / "o"), flag, "0",
+                ])
+            assert e.value.code == 2, flag
+
     def test_cli_curate_end_to_end(self, spark, tmp_path, capsys):
         """`python -m metaprofi_spark curate` == the library pipeline,
         in both quota modes, with stats on stdout."""
