@@ -220,29 +220,42 @@ def search_df(
     sample_ids: list[int] | None = None,
 ) -> DataFrame:
     """File-of-queries search (§3.3 of SURVEY.md): distributed hashing,
-    then the same join/AND/count plan as :func:`search`.
+    then the same plan family as :func:`search`.
 
-    NOTHING per-row crosses the driver: the hash rows stay a DataFrame
-    end-to-end (broadcast JVM-side when ``broadcast_queries``, shuffle
-    join on range_id otherwise — flip it off for reference-shape
-    million-read query files whose hash rows outgrow a broadcast,
-    search_index.py:277-297).  The only driver materialization is the
-    distinct slice_bucket list, bounded by ``cfg.slice_buckets`` (a
-    config constant) — it drives static partition pruning of the
-    parquet scan.
+    ``broadcast_queries=True`` (bounded query sets): the hash rows are
+    pulled once to the driver (the identical byte movement an
+    ``F.broadcast`` performs — every broadcast relation is built
+    driver-side) and shipped to tasks as a Spark broadcast.
+    ``broadcast_queries=False`` (reference-shape million-read files,
+    search_index.py:277-297): the hash rows stay a DataFrame
+    end-to-end and meet the index in a cogrouped shuffle — no
+    driver materialization beyond the bounded slice-bucket list.
     """
     if not 0 < threshold <= 100:
         raise ValueError("threshold must be in (0, 100]")
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     sb_size = slice_bucket_size(cfg)
+    if broadcast_queries:
+        # one hashing job; bucket list and plan choice computed locally
+        # from the (bounded, broadcast-sized) hash set
+        qpdf = hash_queries_df(queries_df, cfg).toPandas()
+        if len(qpdf) == 0:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        buckets = sorted(
+            {int(s) // sb_size for s in qpdf["slice_id"].to_numpy()}
+        )
+        return _search_from_hashes(
+            spark, index_df, qpdf, cfg, threshold, bucket,
+            slice_buckets=buckets, sample_ids=sample_ids,
+        )
     # the hash rows are read twice (bucket-prune list + index join).
     # NOT .persist(): the CacheManager pins cached plans for the session
     # lifetime, so repeated searches would accumulate blocks (r2
     # advice).  Eager localCheckpoint materializes the hashing once,
-    # EXECUTOR-side for both join strategies (per-row data never
-    # crosses the driver — only the bounded bucket list below does);
-    # its blocks are reference-counted by the ContextCleaner and freed
-    # when this DataFrame is GC'd, so nothing outlives the search.
+    # EXECUTOR-side (per-row data never crosses the driver — only the
+    # bounded bucket list below does); its blocks are
+    # reference-counted by the ContextCleaner and freed when this
+    # DataFrame is GC'd, so nothing outlives the search.
     hashes = hash_queries_df(queries_df, cfg).localCheckpoint(eager=True)
     buckets = sorted(
         r["b"]
@@ -256,7 +269,7 @@ def search_df(
         return spark.createDataFrame([], RESULT_SCHEMA)
     return _search_from_hashes(
         spark, index_df, hashes, cfg, threshold, bucket,
-        slice_buckets=buckets, broadcast_queries=broadcast_queries,
+        slice_buckets=buckets, broadcast_queries=False,
         sample_ids=sample_ids,
     )
 
@@ -306,15 +319,285 @@ def search(
     qpdf = qpdf.assign(n_kgrams=qpdf["query_id"].map(n_kgrams).astype("int64"))
     buckets = sorted({int(s) // sb_size for s in qpdf["slice_id"]})
     return _search_from_hashes(
-        spark, index_df, spark.createDataFrame(qpdf), cfg, threshold, bucket,
+        spark, index_df, qpdf, cfg, threshold, bucket,
         slice_buckets=buckets, sample_ids=sample_ids,
+    )
+
+
+def _prep_hash_struct(pdf: pd.DataFrame) -> dict:
+    """Reorganize hash rows into flat numpy arrays the bucket kernel
+    consumes: rows sorted by (query, kgram), with per-kgram-segment and
+    per-query-segment boundaries precomputed ONCE (driver-side for the
+    broadcast path; once per cogroup otherwise) instead of per task."""
+    qcodes, quniq = pd.factorize(pdf["query_id"], sort=False)
+    kg = pdf["kgram_idx"].to_numpy().astype(np.int64)
+    order = np.lexsort((kg, qcodes))
+    qc = qcodes[order]
+    kg = kg[order]
+    sl = pdf["slice_id"].to_numpy().astype(np.int64)[order]
+    w = pdf["weight"].to_numpy().astype(np.int64)[order]
+    nk = pdf["n_kgrams"].to_numpy().astype(np.int64)[order]
+    change = (qc[1:] != qc[:-1]) | (kg[1:] != kg[:-1])
+    kstart = np.concatenate(([0], np.nonzero(change)[0] + 1))
+    kend = np.concatenate((kstart[1:], [len(qc)]))
+    kq = qc[kstart]           # query code per kgram segment
+    kw = w[kstart]            # occurrence weight per kgram
+    qchange = np.nonzero(kq[1:] != kq[:-1])[0] + 1
+    qstart = np.concatenate(([0], qchange))   # kgram-segment index space
+    qend = np.concatenate((qchange, [len(kq)]))
+    return {
+        "quniq": np.asarray(quniq, dtype=object),
+        "sl": sl,
+        "kstart": kstart,
+        "kend": kend,
+        "kw": kw,
+        "qstart": qstart,
+        "qend": qend,
+        "q_code": kq[qstart],
+        "q_nk": nk[kstart][qstart],
+    }
+
+
+def _bucket_search(
+    S: dict,
+    threshold: int,
+    bucket: int,
+    rsize: int,
+    width_bytes: int,
+    sbucket: int,
+    range_arr: np.ndarray,
+    slab_idx: np.ndarray,
+    Mr: np.ndarray,
+):
+    """Complete search for ONE sample_bucket: gather the needed slices
+    from the bucket's slabs (missing slab/slice == all-zero row — the
+    sparse-index rule), AND per k-gram, count per query, threshold.
+
+    ``Mr`` is the TASK-level slab matrix viewed as
+    (n_task_slabs * rsize, width_bytes) slice rows; ``slab_idx`` maps
+    this bucket's slabs (whose range ids are ``range_arr``) to their
+    slab number in ``Mr`` — no per-bucket matrix copy.
+
+    All numpy: one fancy-index gather, segment AND by run length,
+    ``bitwise_and``/``bitwise_or.reduceat`` for the per-query fold.
+    Exactly the semantics of the joined-row kernel (search_index.py:
+    518-575 counts, :532 cutoff), pinned equal by the e2e tests.
+    Returns (query_id obj array, sample_idx, kgram_hits, n_kgrams)
+    or None."""
+    n_slab = len(range_arr)
+    order = np.argsort(range_arr, kind="stable")
+    rsorted = range_arr[order]
+    slab_sorted = slab_idx[order]        # Mr-row base per sorted range
+    sl = S["sl"]
+    rid = sl // rsize
+    pos = np.searchsorted(rsorted, rid)
+    posc = np.minimum(pos, n_slab - 1)
+    found = rsorted[posc] == rid
+    row_idx = np.where(found, slab_sorted[posc] * rsize + sl % rsize, 0)
+    G = Mr[row_idx]                      # (n_hash_rows, width)
+    G[~found] = 0                        # missing slice == all-zero row
+    kstart, kend = S["kstart"], S["kend"]
+    anded = G[kstart].copy()
+    seg_len = kend - kstart
+    for L in np.unique(seg_len):         # lengths are <= h
+        if L == 1:
+            continue
+        idx = np.nonzero(seg_len == L)[0]
+        for j in range(1, int(L)):
+            anded[idx] &= G[kstart[idx] + j]
+    qstart, qend = S["qstart"], S["qend"]
+    q_nk = S["q_nk"]
+    base = sbucket * bucket
+    if threshold == 100:
+        # exact search == AND over every k-gram row (cut == n_total ⟺
+        # all rows set); padding bits are never set, so they drop out
+        qa = np.bitwise_and.reduceat(anded, qstart, axis=0)
+        nzq = np.nonzero(qa.any(axis=1))[0]
+        if len(nzq) == 0:
+            return None
+        bits = np.unpackbits(qa[nzq], axis=1, bitorder="little")
+        rows, cols = np.nonzero(bits)
+        qidx = nzq[rows]
+        hits = q_nk[qidx]
+    else:
+        t_int = int(threshold)
+        out_r: list[int] = []
+        out_c: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        kw = S["kw"]
+        # candidate prefilter: a sample can only count where at least
+        # one k-gram's AND bit is set, and Bloom AND rows are ~0.1%
+        # dense — so OR per query first, then count ONLY the candidate
+        # columns via packed-byte shifts (no 8x unpack of every row)
+        qor = np.bitwise_or.reduceat(anded, qstart, axis=0)
+        for qi in np.nonzero(qor.any(axis=1))[0]:
+            cand = np.nonzero(
+                np.unpackbits(qor[qi], bitorder="little")
+            )[0]
+            rows = anded[qstart[qi]:qend[qi]]
+            vals = (rows[:, cand >> 3] >> (cand & 7).astype(np.uint8)) & 1
+            w = kw[qstart[qi]:qend[qi]]
+            counts = (vals.astype(np.int64) * w[:, None]).sum(axis=0)
+            cut = (int(q_nk[qi]) * t_int + 99) // 100
+            keep = counts >= cut
+            if keep.any():
+                out_r.append(qi)
+                out_c.append(cand[keep])
+                out_h.append(counts[keep])
+        if not out_r:
+            return None
+        qidx = np.repeat(
+            np.asarray(out_r, dtype=np.intp),
+            [len(c) for c in out_c],
+        )
+        cols = np.concatenate(out_c)
+        hits = np.concatenate(out_h)
+    return (
+        S["quniq"][S["q_code"][qidx]],
+        base + cols.astype(np.int64),
+        hits.astype(np.int64),
+        S["q_nk"][qidx],
+    )
+
+
+_COUNT_SCHEMA = "query_id string, sample_idx long, kgram_hits long, n_kgrams long"
+
+
+def _fused_bucket_counted(
+    spark: SparkSession,
+    pruned: DataFrame,
+    hashes,
+    threshold: int,
+    bucket: int,
+    rsize: int,
+    width_bytes: int,
+) -> DataFrame:
+    """The per-bucket fused plan: ONE shuffle of the (pruned) index
+    slabs keyed by sample_bucket, then a single numpy kernel finishes
+    each bucket completely against the (broadcast) hash rows.
+
+    Replaces the hash-row × sample_bucket JVM join of the small-query
+    plan: the join materialized n_hash_rows × n_buckets 256-byte rows
+    (5M rows / ~9 s for the 1000-query workbook) where the slab shuffle
+    moves the same payload as ~12k whole slabs with zero per-row
+    amplification.  ``hashes`` is a pandas DataFrame (shipped via
+    ``sc.broadcast``) or a Spark DataFrame (cogrouped — the million-
+    read path, which never touches the driver)."""
+    slabs = pruned.select("sample_bucket", "range_id", "bits")
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    slab_bytes = rsize * width_bytes
+    if isinstance(hashes, pd.DataFrame):
+        bc = spark.sparkContext.broadcast(_prep_hash_struct(hashes))
+
+        def fn(batches):
+            import pyarrow as pa
+
+            S = bc.value
+            sbs: list[np.ndarray] = []
+            rids: list[np.ndarray] = []
+            mats: list[np.ndarray] = []
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                sbs.append(rb.column(0).to_numpy())
+                rids.append(rb.column(1).to_numpy())
+                arr = rb.column(2)
+                # zero-copy view of the batch's slab payload: Arrow
+                # binary = one data buffer + offsets (pyarrow 16: get
+                # offsets from buffers()[1], there is no .offsets)
+                off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+                offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+                    arr.offset : arr.offset + n + 1
+                ]
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                if len(np.unique(np.diff(offs))) == 1 and offs[1] - offs[0] == slab_bytes:
+                    mats.append(
+                        data[offs[0] : offs[-1]].reshape(n, slab_bytes)
+                    )
+                else:  # ragged slabs cannot occur by construction; be safe
+                    m = np.zeros((n, slab_bytes), np.uint8)
+                    for i in range(n):
+                        row = data[offs[i] : offs[i + 1]]
+                        m[i, : len(row)] = row
+                    mats.append(m)
+            if not mats:
+                return
+            sb = np.concatenate(sbs)
+            rid = np.concatenate(rids).astype(np.int64)
+            Mr = np.concatenate(mats).reshape(-1, width_bytes)
+            for b in np.unique(sb):
+                sel = np.nonzero(sb == b)[0]
+                out = _bucket_search(
+                    S, threshold, bucket, rsize, width_bytes, int(b),
+                    rid[sel], sel.astype(np.int64), Mr,
+                )
+                if out is not None:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(out[0], pa.string()),
+                            pa.array(out[1], pa.int64()),
+                            pa.array(out[2], pa.int64()),
+                            pa.array(out[3], pa.int64()),
+                        ],
+                        names=["query_id", "sample_idx", "kgram_hits", "n_kgrams"],
+                    )
+
+        return slabs.repartition(shuffle_p, "sample_bucket").mapInArrow(
+            fn, _COUNT_SCHEMA
+        )
+    # distributed hash rows: replicate the NARROW hash rows (no slab
+    # payload) to every present bucket and cogroup — slabs and hash
+    # rows each cross the shuffle exactly once
+    # alias through a projection: the bucket list derives from the same
+    # plan as the slab leg, and cogroup's analyzer rejects the shared
+    # attribute id as an ambiguous self-join
+    buckets_df = (
+        slabs.select(F.col("sample_bucket").alias("__sb")).distinct()
+        .select(F.col("__sb").alias("sample_bucket"))
+    )
+    hrep = hashes.crossJoin(F.broadcast(buckets_df))
+
+    def cg(key, left, right):
+        empty = pd.DataFrame(
+            {"query_id": [], "sample_idx": [], "kgram_hits": [], "n_kgrams": []}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        S = _prep_hash_struct(right)
+        blobs = list(left["bits"])
+        Mr = np.zeros((len(blobs) * rsize, width_bytes), np.uint8)
+        flat = Mr.reshape(len(blobs), rsize * width_bytes)
+        for i, b in enumerate(blobs):
+            row = np.frombuffer(b, np.uint8)
+            flat[i, : len(row)] = row
+        out = _bucket_search(
+            S, threshold, bucket, rsize, width_bytes, int(key[0]),
+            left["range_id"].to_numpy().astype(np.int64),
+            np.arange(len(blobs), dtype=np.int64), Mr,
+        )
+        if out is None:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": out[0],
+                "sample_idx": pd.array(out[1], dtype="int64"),
+                "kgram_hits": pd.array(out[2], dtype="int64"),
+                "n_kgrams": pd.array(out[3], dtype="int64"),
+            }
+        )
+
+    return (
+        slabs.groupBy("sample_bucket")
+        .cogroup(hrep.groupBy("sample_bucket"))
+        .applyInPandas(cg, _COUNT_SCHEMA)
     )
 
 
 def _search_from_hashes(
     spark: SparkSession,
     index_df: DataFrame,
-    hashes_df: DataFrame,
+    hashes,
     cfg: SketchConfig,
     threshold: int,
     bucket: int,
@@ -322,23 +605,28 @@ def _search_from_hashes(
     broadcast_queries: bool = True,
     sample_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Shared physical plan (one shuffle):
+    """Dispatch between the two physical plans (both: one shuffle).
 
-        hash rows --broadcast--> join index slabs (partition-pruned)
-          -> binary substring cuts each slab to the ONE needed slice
-             JVM-side BEFORE any shuffle
-          -> repartition(query_id, sample_bucket) + sortWithinPartitions
-          -> fused mapInPandas: per-(query,kgram) AND + per-sample
-             weighted count, vectorized over WHOLE partitions with
-             numpy segment reductions (no per-group pandas overhead —
-             a 1000-query workload makes ~2M groups)
-          -> threshold filter
+    ``hashes`` is a pandas DataFrame (bounded query set — the broadcast
+    path) or a Spark DataFrame (million-read path).
+
+    SMALL query sets (a handful of probes): broadcast join of the hash
+    rows against the slabs, slab cut to the one needed slice JVM-side,
+    shuffle the 256-byte sliced rows by (query, sample_bucket), fused
+    numpy kernel.  Join output is n_hash × n_buckets rows — cheap when
+    n_hash is tiny, and the only slab bytes shuffled are the slices
+    actually probed.
+
+    LARGE query sets (the 1000-query workbook and up): the join-row
+    amplification dominates, so flip to :func:`_fused_bucket_counted`
+    — shuffle whole (range-pruned) slabs once by sample_bucket and
+    finish each bucket in one numpy kernel.  Crossover rule: fused iff
+    touched_ranges × rsize <= 4 × n_hash_rows (slab bytes shuffled
+    within 4x of the sliced-row bytes — row-count cost, not payload,
+    is what the fused plan removes).
     """
     rsize = cfg.slice_range_size
     width_bytes = (bucket + 7) // 8
-    hashes_df = hashes_df.withColumn(
-        "range_id", F.expr(f"slice_id div {rsize}")
-    )
     # partition pruning: touch only the slice_buckets the query needs
     # (the binning optimization, search_index.py:578-592, for free via
     # parquet partition filters)
@@ -350,7 +638,39 @@ def _search_from_hashes(
         scope_buckets = sorted({int(s) // bucket for s in sample_ids})
         pruned = pruned.filter(F.col("sample_bucket").isin(scope_buckets))
 
-    qside = F.broadcast(hashes_df) if broadcast_queries else hashes_df
+    counted = None
+    if isinstance(hashes, pd.DataFrame):
+        ranges = np.unique(hashes["slice_id"].to_numpy().astype(np.int64) // rsize)
+        if len(ranges) * rsize <= 4 * len(hashes):
+            # range pruning: only slabs some query touches are shuffled
+            # (bounded ISIN — len(ranges) <= n_hash_rows, broadcast-sized)
+            if len(ranges) <= 8192:
+                pruned = pruned.filter(
+                    F.col("range_id").isin([int(r) for r in ranges])
+                )
+            counted = _fused_bucket_counted(
+                spark, pruned, hashes, threshold, bucket, rsize, width_bytes
+            )
+        else:
+            hashes = spark.createDataFrame(hashes)
+    else:
+        counted = _fused_bucket_counted(
+            spark, pruned, hashes, threshold, bucket, rsize, width_bytes
+        )
+    if counted is not None:
+        result = counted.withColumn(
+            "pct", F.col("kgram_hits") * F.lit(100.0) / F.col("n_kgrams")
+        ).select("query_id", "sample_idx", "kgram_hits", "n_kgrams", "pct")
+        if sample_ids is not None:
+            result = result.filter(
+                F.col("sample_idx").isin([int(s) for s in sample_ids])
+            )
+        return result
+
+    hashes_df = hashes.withColumn(
+        "range_id", F.expr(f"slice_id div {rsize}")
+    )
+    qside = F.broadcast(hashes_df)
     joined = (
         pruned.join(qside, "range_id")
         .withColumn(
