@@ -252,21 +252,50 @@ def minhash_lsh_candidates(
        generation — the candidate list itself is the data volume, not
        a shuffle amplification.
     """
+    # groups feeds FOUR plan subtrees (band explode, both sides of the
+    # member re-expansion, intra pairs); an eager localCheckpoint
+    # materializes the signature aggregation once instead of four times
+    # (blocks are ContextCleaner-reclaimed when the plan is GC'd)
     groups = minhash_signature_groups(df, n_perm, bands, id_col, text_col)
+    groups = groups.localCheckpoint(eager=True)
     rep_bands = groups.select("rep", F.explode("sig").alias("bb")).select(
         "rep", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
     a = rep_bands.alias("a")
     b = rep_bands.alias("b")
+    raw_pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.rep") < F.col("b.rep")),
+    ).select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+    # a pair can collide in up to `bands` bands (measured ~3.5x raw
+    # duplication on the dense gate corpus), so the dedup hash-aggregates
+    # the RAW pair stream — the dominant cost of this operator.  Packing
+    # the pair into ONE long halves the key bytes and the hash-probe
+    # cost (measured 1.4x on the dedup stage).  Ids above 2^31 cannot
+    # pack; fail LOUDLY rather than silently corrupt pairs — callers
+    # with wider ids renumber upstream (the same dense-id contract the
+    # index build already imposes on sample_idx).
+    in_range = (
+        (F.col("rep_a") >= 0) & (F.col("rep_a") < F.lit(1 << 31))
+        & (F.col("rep_b") >= 0) & (F.col("rep_b") < F.lit(1 << 31))
+    )
+    pk = F.when(
+        in_range, F.shiftleft(F.col("rep_a"), 32) + F.col("rep_b")
+    ).otherwise(
+        F.raise_error(F.lit(
+            "minhash_lsh_candidates: id outside [0, 2^31) cannot be "
+            "pair-packed; renumber ids upstream"
+        ))
+    )
     rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        raw_pairs.select(pk.alias("pk"))
         .distinct()
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("rep_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("rep_b"),
+        )
     )
     ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
     gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
