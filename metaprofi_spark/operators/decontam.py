@@ -61,10 +61,15 @@ def contamination_report(
     where n_hits = #distinct word n-grams shared with ANY benchmark
     doc.  Clean docs are absent (filter them downstream with an
     anti-join, or invert via drop_contaminated)."""
+    from metaprofi_spark.plans.parallel import fan_out
+
     bench_grams = F.broadcast(
         ngram_rows(benchmark, n, id_col, text_col).select("gram").distinct()
     )
-    hits = ngram_rows(corpus, n, id_col, text_col).join(bench_grams, "gram")
+    # gram generation is the expensive map stage (~0.6 ms/doc of JVM
+    # array building); fan_out guards against a tiny corpus scan
+    # pinning it to one task — no-op at real corpus scale
+    hits = ngram_rows(fan_out(corpus), n, id_col, text_col).join(bench_grams, "gram")
     return (
         hits.groupBy("id")
         .agg(F.count("*").alias("n_hits"))  # grams distinct per doc upstream

@@ -29,11 +29,15 @@ from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer, mmh2_64_windows
 def _token_arrays(df: DataFrame, id_col: str, text_col: str, distinct: bool) -> DataFrame:
     """Tokenize JVM-side (codegen'd split/filter[/distinct]); python
     workers only ever see token ARRAYS through Arrow — no per-doc string
-    work in the hot path."""
+    work in the hot path.  fan_out guards against a tiny scan running
+    the tokenize + downstream signature kernels on one task (no-op at
+    corpus scale)."""
+    from metaprofi_spark.plans.parallel import fan_out
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     if distinct:
         toks = F.array_distinct(toks)
-    return df.select(F.col(id_col), toks.alias("toks"))
+    return fan_out(df).select(F.col(id_col), toks.alias("toks"))
 
 
 def _doc_runs_arrow(batch, id_col: str):
