@@ -29,15 +29,14 @@ from metaprofi_spark.kernels.mmh2 import mmh2_64_buffer, mmh2_64_windows
 def _token_arrays(df: DataFrame, id_col: str, text_col: str, distinct: bool) -> DataFrame:
     """Tokenize JVM-side (codegen'd split/filter[/distinct]); python
     workers only ever see token ARRAYS through Arrow — no per-doc string
-    work in the hot path.  fan_out guards against a tiny scan running
-    the tokenize + downstream signature kernels on one task (no-op at
-    corpus scale)."""
-    from metaprofi_spark.plans.parallel import fan_out
-
+    work in the hot path.  (fan_out was A/B'd here and REJECTED: the
+    signature kernels are cheap enough that the extra exchange — paid
+    once per consuming subtree — costs more than the single-task scan
+    at gate scale, measured 0.78 s -> 1.79 s on simhash_pairs.)"""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     if distinct:
         toks = F.array_distinct(toks)
-    return fan_out(df).select(F.col(id_col), toks.alias("toks"))
+    return df.select(F.col(id_col), toks.alias("toks"))
 
 
 def _doc_runs_arrow(batch, id_col: str):
