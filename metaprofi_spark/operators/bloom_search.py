@@ -652,6 +652,7 @@ def _search_from_hashes(
                 spark, pruned, hashes, threshold, bucket, rsize, width_bytes
             )
         else:
+            n_hash = len(hashes)
             hashes = spark.createDataFrame(hashes)
     else:
         counted = _fused_bucket_counted(
@@ -686,6 +687,11 @@ def _search_from_hashes(
     )
 
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # size the shuffle to the work: this plan is only taken for SMALL
+    # probe sets (the fused plan handles everything else), and 64 tiny
+    # python-kernel tasks cost more in worker roundtrips than one task
+    # over a few hundred 256-byte rows.  n_hash is driver-known here.
+    shuffle_p = max(1, min(shuffle_p, n_hash // 256 + 1))
     # NO Spark sort here: Catalyst reorders Project(substring) above a
     # Sort (the sort keys don't need `bits`), which would make the sort
     # carry whole 64KB slabs (observed 19 GB spill).  The kernel sorts
