@@ -236,9 +236,21 @@ def search_df(
     bucket = plan_index_geometry(cfg, sample_bucket_size=sample_bucket_size)
     sb_size = slice_bucket_size(cfg)
     if broadcast_queries:
-        # one hashing job; bucket list and plan choice computed locally
-        # from the (bounded, broadcast-sized) hash set
-        qpdf = hash_queries_df(queries_df, cfg).toPandas()
+        # the query set is broadcast-bounded by contract, so pulling the
+        # TEXTS costs no more than pulling the (wider) hash-row set the
+        # broadcast needs anyway; below ~16k queries the numpy hash
+        # kernel runs faster on the driver than a 32-task hashing job
+        # (A/B: 0.21 s vs 0.37 s for the 1000-query workbook)
+        qp = queries_df.select("query_id", "query_text").toPandas()
+        if len(qp) <= 16384:
+            qpdf, n_kgrams = hash_queries(
+                list(zip(qp["query_id"], qp["query_text"])), cfg
+            )
+            qpdf = qpdf.assign(
+                n_kgrams=qpdf["query_id"].map(n_kgrams).astype("int64")
+            )
+        else:  # large (but still broadcastable) sets: hash distributed
+            qpdf = hash_queries_df(queries_df, cfg).toPandas()
         if len(qpdf) == 0:
             return spark.createDataFrame([], RESULT_SCHEMA)
         buckets = sorted(
