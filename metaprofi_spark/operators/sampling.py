@@ -60,7 +60,7 @@ def stratified_sample(
     )
 
 
-def budget_sample(
+def budget_sample_window(
     df: DataFrame,
     strata_cols: list[str],
     token_budget: int,
@@ -68,24 +68,11 @@ def budget_sample(
     text_col: str = "text",
     seed: int = 42,
 ) -> DataFrame:
-    """TOKEN-BUDGET sampling — how pre-training mixtures are actually
-    cut ("2B tokens of lang X"), not doc counts: per stratum, keep
-    docs in md5-hash order until the cumulative token count reaches
-    the budget.  A doc is kept iff the token sum of all hash-earlier
-    docs in its stratum is < budget (the budget-crossing doc is
-    included, so the sample always covers >= budget tokens when the
-    stratum has them).  Deterministic across engines and partitionings
-    like stratified_sample.
-
-    Scale shape: the exact prefix sum needs ONE ordered pass per
-    stratum (window over partitionBy(strata)) — a sort-shuffle where
-    each stratum lands on one reducer.  Fine for the usual dozens-of-
-    strata mixtures; for one giant stratum the scalable variant is
-    threshold estimation (hash is uniform, so docs with hash < theta ≈
-    budget/total_tokens hit the budget in expectation; binary-search
-    theta over pre-aggregated hash-range token sums) at the cost of
-    exact-boundary determinism — documented, not implemented, because
-    the budget boundary then depends on estimation rounds."""
+    """The single-window EXACT twin of :func:`budget_sample` — one
+    ordered pass per stratum (window over partitionBy(strata)), i.e.
+    every stratum through ONE reducer.  Kept as the equality oracle
+    for tests; the scalable bucket-refinement plan below computes the
+    identical result."""
     from metaprofi_spark.functions.text import token_count
 
     key = rank_key(id_col, seed).alias("_rk")
@@ -100,6 +87,121 @@ def budget_sample(
         .filter(F.col("_cum_before") < token_budget)
         .drop("_rk", "_nt", "_cum_before")
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """TOKEN-BUDGET sampling — how pre-training mixtures are actually
+    cut ("2B tokens of lang X"), not doc counts: per stratum, keep
+    docs in md5-hash order until the cumulative token count reaches
+    the budget.  A doc is kept iff the token sum of all hash-earlier
+    docs in its stratum is < budget (the budget-crossing doc is
+    included, so the sample always covers >= budget tokens when the
+    stratum has them).  Deterministic across engines and partitionings
+    like stratified_sample.
+
+    Scale shape (the r5 verdict's last single-reducer plan, now gone):
+    the md5 rank key is uniform, so its leading ``prefix_len`` hex
+    chars split every stratum into 16^prefix_len equal HASH-RANGE
+    BUCKETS whose order refines the sort order.  One map-side-combined
+    aggregation computes per-(stratum, bucket) token sums; the driver
+    walks the (bounded: n_strata x 16^prefix_len rows, the same
+    boundedness class as the slice-bucket lists) cumulative sums and
+    classifies each bucket: entirely under budget -> keep all rows,
+    entirely past it -> drop, the single budget-CROSSING bucket per
+    stratum -> exact within-bucket prefix sum with the carried base
+    offset.  The only ordered window runs over (strata, _pb) — ONE
+    HASH BUCKET, ~1/16^prefix_len of a stratum — so no reducer ever
+    sorts a whole stratum.  Results are bit-identical to the
+    single-window twin (equality-tested at both gate scales)."""
+    from metaprofi_spark.functions.text import token_count
+
+    key = rank_key(id_col, seed).alias("_rk")
+    base = df.select(
+        "*", key, token_count(F.col(text_col)).cast("long").alias("_nt")
+    ).withColumn("_pb", F.substring(F.col("_rk"), 1, prefix_len))
+    bucket_sums = (
+        base.groupBy(*strata_cols, "_pb")
+        .agg(F.sum("_nt").alias("_ts"))
+        .collect()
+    )
+    per_stratum: dict[tuple, list] = {}
+    for r in bucket_sums:
+        sk = tuple(r[c] for c in strata_cols)
+        per_stratum.setdefault(sk, []).append((r["_pb"], int(r["_ts"])))
+    keep_all: list[tuple] = []     # (*stratum, pb)
+    boundary: list[tuple] = []     # (*stratum, pb, base_cum)
+    for sk, buckets in per_stratum.items():
+        cum = 0
+        for pb, ts in sorted(buckets):  # hex prefix order == _rk order
+            if cum >= token_budget:
+                break  # every later row has cum_before >= budget
+            if cum + ts < token_budget:
+                keep_all.append((*sk, pb))
+            else:  # the one budget-crossing bucket of this stratum
+                boundary.append((*sk, pb, cum))
+            cum += ts
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    spark = df.sparkSession
+    skey_fields = [f"_s{i}" for i in range(len(strata_cols))]
+    stype = {f.name: f.dataType for f in df.schema.fields}
+    sfields = [
+        StructField(s, stype[c], True) for s, c in zip(skey_fields, strata_cols)
+    ]
+
+    def _match(frame):
+        cond = F.col("_pb") == F.col("_mpb")
+        for c, s in zip(strata_cols, skey_fields):
+            cond = cond & F.col(c).eqNullSafe(F.col(s))
+        return base.join(F.broadcast(frame), cond, "inner")
+
+    out_cols = df.columns
+    parts = []
+    if keep_all:
+        ka = spark.createDataFrame(
+            keep_all,
+            StructType(sfields + [StructField("_mpb", StringType(), False)]),
+        )
+        parts.append(_match(ka).select(*out_cols))
+    if boundary:
+        bd = spark.createDataFrame(
+            boundary,
+            StructType(
+                sfields
+                + [
+                    StructField("_mpb", StringType(), False),
+                    StructField("_base", LongType(), False),
+                ]
+            ),
+        )
+        w = (
+            Window.partitionBy(*strata_cols, "_pb")
+            .orderBy("_rk", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        parts.append(
+            _match(bd)
+            .withColumn(
+                "_cum_before",
+                F.col("_base") + F.coalesce(F.sum("_nt").over(w), F.lit(0)),
+            )
+            .filter(F.col("_cum_before") < token_budget)
+            .select(*out_cols)
+        )
+    if not parts:
+        return df.filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def stratified_sample_sql(

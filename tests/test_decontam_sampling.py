@@ -300,6 +300,54 @@ class TestStratifiedSample:
                 cum += nt
         assert got == want
 
+    def test_budget_sample_equals_window_twin_both_scales(self, spark):
+        """The scalable bucket-refinement plan == the single-window
+        exact twin, row-set identical, at sf0.01 AND sf0.1 (the r5
+        verdict's equality gate for retiring the single-reducer plan),
+        across prefix_len granularities (16 / 256 buckets)."""
+        from metaprofi_spark.operators.sampling import (
+            budget_sample,
+            budget_sample_window,
+        )
+
+        for sf in ("sf0.01", "sf0.1"):
+            docs = spark.read.parquet(
+                f"/root/testdata/{sf}/documents.parquet"
+            ).select("doc_id", "text", "lang")
+            for budget in (1, 1500, 10**9):
+                want = {
+                    (r["doc_id"], r["lang"])
+                    for r in budget_sample_window(
+                        docs, ["lang"], budget, seed=3
+                    ).collect()
+                }
+                for plen in (1, 2):
+                    got = {
+                        (r["doc_id"], r["lang"])
+                        for r in budget_sample(
+                            docs, ["lang"], budget, seed=3, prefix_len=plen
+                        ).collect()
+                    }
+                    assert got == want, (sf, budget, plen)
+
+    def test_budget_sample_plan_has_no_full_stratum_window(self, spark):
+        """Scale pin: every Window in the scalable plan partitions by
+        (strata, _pb) — one hash-range bucket, never a whole stratum
+        through one reducer (the r5 verdict's perf-weak item)."""
+        import re
+
+        from metaprofi_spark.operators.sampling import budget_sample
+
+        docs = self._docs(spark).select("doc_id", "text", "lang")
+        plan = (
+            budget_sample(docs, ["lang"], 1500, seed=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        windows = re.findall(r"Window \[.*?windowspecdefinition\([^)]*\)", plan)
+        assert windows, plan  # the boundary bucket does use a window
+        for w in windows:
+            assert "_pb" in w, w  # ...partitioned by the hash bucket
+
     def test_curate_corpus_composition(self, spark):
         """curate_corpus == clean_corpus -> drop_contaminated ->
         stratified_sample, stage for stage, with monotone stats."""
