@@ -492,11 +492,25 @@ def min_label_propagation(
         via_member = (
             edges.join(labels, "id").select(F.col("rep").alias("id"), "comp")
         )
-        new_labels = ckpt(
+        prop = (
             via_rep.unionByName(via_member)
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump (path compression): comp <- label(comp).  comp is
+        # always the id of a node in the same component (the min-label
+        # invariant), so its label is a valid — and never larger —
+        # label for id too.  Propagate-then-jump roughly doubles the
+        # label horizon per round, so adversarial chains converge in
+        # O(log diameter) rounds instead of O(diameter) (r5 verdict
+        # item 3); the fixed point (per-component min id) is unchanged.
+        jump = prop.select(
+            F.col("id").alias("comp"), F.col("comp").alias("_jc")
+        )
+        new_labels = ckpt(
+            prop.join(jump, "comp", "left")
+            .select("id", F.least(F.col("comp"), F.col("_jc")).alias("comp"))
         )
         changed = (
             new_labels.withColumnRenamed("comp", "new")
