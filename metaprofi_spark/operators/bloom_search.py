@@ -474,6 +474,14 @@ def _bucket_search(
 
 _COUNT_SCHEMA = "query_id string, sample_idx long, kgram_hits long, n_kgrams long"
 
+# cogrouped fused plan cap: each bucket group materializes the full
+# replicated hash set in its python worker (~150 B/row as pandas), so
+# past this the memory-bounded streaming joined plan wins.  Env knob
+# for clusters with bigger workers.
+_COGROUP_MAX_HASH_ROWS = int(
+    __import__("os").environ.get("METAPROFI_COGROUP_MAX_HASH_ROWS", "600000")
+)
+
 
 def _fused_bucket_counted(
     spark: SparkSession,
@@ -667,9 +675,17 @@ def _search_from_hashes(
             n_hash = len(hashes)
             hashes = spark.createDataFrame(hashes)
     else:
-        counted = _fused_bucket_counted(
-            spark, pruned, hashes, threshold, bucket, rsize, width_bytes
-        )
+        # distributed hash rows: the cogrouped fused plan materializes
+        # the WHOLE hash set per bucket group in each python worker, so
+        # it is capped — beyond the cap (a truly million-read file) the
+        # streaming joined plan below takes over: it holds only Arrow
+        # batches, never the full query set, at the cost of the
+        # n_hash x n_buckets row amplification.
+        n_hash = hashes.count()  # hashes is localCheckpointed: ~free
+        if n_hash <= _COGROUP_MAX_HASH_ROWS:
+            counted = _fused_bucket_counted(
+                spark, pruned, hashes, threshold, bucket, rsize, width_bytes
+            )
     if counted is not None:
         result = counted.withColumn(
             "pct", F.col("kgram_hits") * F.lit(100.0) / F.col("n_kgrams")
@@ -683,7 +699,10 @@ def _search_from_hashes(
     hashes_df = hashes.withColumn(
         "range_id", F.expr(f"slice_id div {rsize}")
     )
-    qside = F.broadcast(hashes_df)
+    # pdf path (small probe sets): broadcast the hash rows; DF path
+    # (million-read fallback past the cogroup cap): shuffle join on
+    # range_id — hash rows stay distributed end-to-end
+    qside = F.broadcast(hashes_df) if broadcast_queries else hashes_df
     joined = (
         pruned.join(qside, "range_id")
         .withColumn(
@@ -699,11 +718,16 @@ def _search_from_hashes(
     )
 
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # size the shuffle to the work: this plan is only taken for SMALL
-    # probe sets (the fused plan handles everything else), and 64 tiny
-    # python-kernel tasks cost more in worker roundtrips than one task
-    # over a few hundred 256-byte rows.  n_hash is driver-known here.
-    shuffle_p = max(1, min(shuffle_p, n_hash // 256 + 1))
+    if broadcast_queries:
+        # SMALL probe sets: 64 near-empty python-kernel tasks cost more
+        # in worker roundtrips than one task over a few hundred rows
+        shuffle_p = max(1, min(shuffle_p, n_hash // 256 + 1))
+    else:
+        # million-read fallback: the kernel materializes its partition
+        # in pandas, so bound per-task state by scaling partitions UP
+        # with the hash-row count (§5 "more partitions, smaller
+        # per-task state"; the joined rows are n_hash x n_buckets)
+        shuffle_p = max(shuffle_p, min(8192, n_hash // 2000))
     # NO Spark sort here: Catalyst reorders Project(substring) above a
     # Sort (the sort keys don't need `bits`), which would make the sort
     # carry whole 64KB slabs (observed 19 GB spill).  The kernel sorts

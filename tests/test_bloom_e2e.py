@@ -291,6 +291,24 @@ def test_search_df_shuffle_join_equals_broadcast(spark, docs, index):
     assert a == b and a
 
 
+def test_search_df_joined_fallback_equals_broadcast(spark, docs, index, monkeypatch):
+    """The streaming joined plan (the non-broadcast tier past the
+    cogroup hash-row cap) == the broadcast plan.  The cap is forced to
+    0 so the fallback runs on a small query set."""
+    from metaprofi_spark.operators import bloom_search, search_df
+
+    monkeypatch.setattr(bloom_search, "_COGROUP_MAX_HASH_ROWS", 0)
+    sample = docs.orderBy("doc_id").limit(4).collect()
+    qlist = [(f"q{r.doc_id}", r.text[: 6 * CFG.k]) for r in sample]
+    qdf = spark.createDataFrame(qlist, "query_id string, query_text string")
+    a = {(r.query_id, r.sample_idx, r.kgram_hits, r.n_kgrams)
+         for r in search_df(spark, index, qdf, CFG, 75, BUCKET).collect()}
+    b = {(r.query_id, r.sample_idx, r.kgram_hits, r.n_kgrams)
+         for r in search_df(spark, index, qdf, CFG, 75, BUCKET,
+                            broadcast_queries=False).collect()}
+    assert a == b and a
+
+
 def test_sample_scoped_search(spark, docs, index):
     """Scoped search == unscoped results post-filtered to the id set,
     AND the scoped plan prunes sample_buckets before the AND stage."""
