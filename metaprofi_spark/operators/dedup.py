@@ -248,8 +248,10 @@ def minhash_lsh_candidates(
 
     1. collapse signature-identical docs into groups — a c-doc
        identical cluster is 1 representative instead of c² join rows;
-    2. band self-join + distinct over REPRESENTATIVES only (the
-       skew-prone shuffle now sees one row per distinct signature);
+    2. band self-join over REPRESENTATIVES only (the skew-prone
+       shuffle sees one row per distinct signature), keeping each
+       colliding pair at its FIRST colliding band — one row per pair
+       with no distinct() over the raw pair stream;
     3. re-expand members with codegen'd explodes: cross pairs between
        colliding groups + intra-group pairs.  Expansion is pure output
        generation — the candidate list itself is the data volume, not
@@ -261,44 +263,49 @@ def minhash_lsh_candidates(
     # (blocks are ContextCleaner-reclaimed when the plan is GC'd)
     groups = minhash_signature_groups(df, n_perm, bands, id_col, text_col)
     groups = groups.localCheckpoint(eager=True)
-    rep_bands = groups.select("rep", F.explode("sig").alias("bb")).select(
-        "rep", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
-    )
+    # each exploded band row also carries the rep's FULL ordered
+    # band-hash array (sig is sorted by band_id and band_ids are
+    # 0..bands-1, so hashes[i] == band i's hash): a pair colliding in
+    # c bands appears c times in the band join, and a distinct() over
+    # the raw pair stream (measured ~3.5x duplication, a 17.8M-row
+    # hash aggregate = the dominant cost of this operator at sf0.1)
+    # used to dedup it.  Instead, KEEP A JOIN ROW ONLY AT THE FIRST
+    # COLLIDING BAND: both sides' earlier band hashes are in hand, so
+    # `no earlier band collides` is a codegen'd array predicate and
+    # each colliding pair survives exactly once — same set, no pair
+    # shuffle, no aggregate.  (Band-hash equality IS the join's own
+    # collision notion, so the filter is consistent with it by
+    # construction.)  Cost: bands x 8 bytes extra per band row in the
+    # join shuffle — reps x bands rows, orders of magnitude below the
+    # raw pair stream it deletes.  The predicate is UNROLLED over the
+    # (plan-time-constant) band count into scalar element_at
+    # comparisons: higher-order functions (exists/zip_with/slice) are
+    # INTERPRETED per row and measured 12x slower than this codegen'd
+    # form on the 17.8M-row join output (63 s vs 5 s, round-6 A/B).
+    rep_bands = groups.select(
+        "rep",
+        F.transform("sig", lambda s: s["band_hash"]).alias("hashes"),
+    ).select("rep", "hashes", F.posexplode("hashes").alias("band_id", "band_hash"))
     a = rep_bands.alias("a")
     b = rep_bands.alias("b")
-    raw_pairs = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.rep") < F.col("b.rep")),
-    ).select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-    # a pair can collide in up to `bands` bands (measured ~3.5x raw
-    # duplication on the dense gate corpus), so the dedup hash-aggregates
-    # the RAW pair stream — the dominant cost of this operator.  Packing
-    # the pair into ONE long halves the key bytes and the hash-probe
-    # cost (measured 1.4x on the dedup stage).  Ids above 2^31 cannot
-    # pack; fail LOUDLY rather than silently corrupt pairs — callers
-    # with wider ids renumber upstream (the same dense-id contract the
-    # index build already imposes on sample_idx).
-    in_range = (
-        (F.col("rep_a") >= 0) & (F.col("rep_a") < F.lit(1 << 31))
-        & (F.col("rep_b") >= 0) & (F.col("rep_b") < F.lit(1 << 31))
-    )
-    pk = F.when(
-        in_range, F.shiftleft(F.col("rep_a"), 32) + F.col("rep_b")
-    ).otherwise(
-        F.raise_error(F.lit(
-            "minhash_lsh_candidates: id outside [0, 2^31) cannot be "
-            "pair-packed; renumber ids upstream"
-        ))
-    )
-    rep_pairs = (
-        raw_pairs.select(pk.alias("pk"))
-        .distinct()
-        .select(
-            F.shiftright(F.col("pk"), 32).alias("rep_a"),
-            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("rep_b"),
+    no_earlier_collision = F.lit(True)
+    for i in range(bands):
+        no_earlier_collision = no_earlier_collision & (
+            (F.col("a.band_id") <= F.lit(i))
+            | (
+                F.element_at(F.col("a.hashes"), i + 1)
+                != F.element_at(F.col("b.hashes"), i + 1)
+            )
         )
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .filter(no_earlier_collision)
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
     )
     ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
     gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
